@@ -1,0 +1,150 @@
+"""Public pure-Python API: expand / compact / flatten / toRdf / fromRdf.
+
+Parity targets (reference, read-only):
+  - API.expand    /root/reference/lib/json/ld/api.rb:171-214
+  - API.compact   api.rb:235-264
+  - API.flatten   api.rb:290-352
+  - API.toRdf     api.rb:525-562
+  - API.fromRdf   api.rb:584-600
+
+All functions are pure: (document, options) → result. The Spark layer
+calls them per document inside Arrow-batched UDFs; conformance tests
+call them directly.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterable, Optional
+
+from json_ld_spark.core import compact as compact_mod
+from json_ld_spark.core import expand as expand_mod
+from json_ld_spark.core import flatten as flatten_mod
+from json_ld_spark.core import from_rdf as from_rdf_mod
+from json_ld_spark.core import to_rdf as to_rdf_mod
+from json_ld_spark.core.context import Context, Options
+from json_ld_spark.core.keywords import BlankNodeNamer
+from json_ld_spark.core.rdf import Triple
+
+
+def _load(document: Any) -> Any:
+    if isinstance(document, (str, bytes)):
+        return json.loads(document)
+    return document
+
+
+def _make_options(options: Optional[Options], **kwargs) -> Options:
+    if options is not None:
+        return options
+    return Options(**kwargs)
+
+
+def expand(document: Any, options: Optional[Options] = None, **kwargs) -> list:
+    """JSON-LD document → expanded array. Parity: api.rb:171-214."""
+    options = _make_options(options, **kwargs)
+    doc = _load(document)
+    context = Context(options)
+    if options.expand_context is not None:
+        ec = options.expand_context
+        if isinstance(ec, dict) and "@context" in ec:
+            ec = ec["@context"]
+        context = context.parse(ec, base_url=options.base)
+    expanded = expand_mod.expand(
+        doc, None, context, ordered=options.ordered, base_url=options.base
+    )
+    # unwrap top-level {"@graph": ...}-only object (api.rb:191-195)
+    if (
+        isinstance(expanded, dict)
+        and "@graph" in expanded
+        and set(expanded.keys()) == {"@graph"}
+    ):
+        expanded = expanded["@graph"]
+    if expanded is None:
+        return []
+    return expanded if isinstance(expanded, list) else [expanded]
+
+
+def compact(
+    document: Any,
+    ctx: Any,
+    options: Optional[Options] = None,
+    expanded_input: bool = False,
+    **kwargs,
+) -> dict:
+    """Compact a document. Parity: api.rb:235-264."""
+    options = _make_options(options, **kwargs)
+    expanded = _load(document) if expanded_input else expand(document, options)
+    ctx_val = ctx
+    if isinstance(ctx_val, (str, bytes)):
+        ctx_val = json.loads(ctx_val)
+    if isinstance(ctx_val, dict) and "@context" in ctx_val:
+        ctx_val = ctx_val["@context"]
+    context = Context(options).parse(ctx_val, base_url=options.base)
+    compacted = compact_mod.compact(
+        expanded, None, context,
+        ordered=options.ordered, compact_arrays=options.compact_arrays,
+    )
+    result: dict[str, Any] = {}
+    if isinstance(compacted, list):
+        if compacted:
+            alias = context.compact_iri("@graph", vocab=True)
+            result = {alias: compacted}
+    elif compacted:
+        result = compacted
+    if ctx_val not in (None, {}, []) and result:
+        result = {"@context": ctx_val, **result}
+    elif ctx_val not in (None, {}, []):
+        result = {"@context": ctx_val, **result}
+    return result
+
+
+def flatten(
+    document: Any,
+    ctx: Any = None,
+    options: Optional[Options] = None,
+    **kwargs,
+) -> Any:
+    """Flatten a document. Parity: api.rb:290-352."""
+    options = _make_options(options, **kwargs)
+    expanded = expand(document, options)
+    flattened = flatten_mod.flatten_expanded(expanded, ordered=options.ordered)
+    if ctx is None:
+        return flattened
+    return compact(flattened, ctx, options, expanded_input=True)
+
+
+def to_rdf(document: Any, options: Optional[Options] = None, **kwargs) -> list[Triple]:
+    """JSON-LD document → triples. Parity: api.rb:525-562 (flatten to a
+    node map first, then per-node emission)."""
+    options = _make_options(options, **kwargs)
+    expanded = expand(document, options)
+    namer = BlankNodeNamer()
+    renamed = flatten_mod.rename_bnodes(expanded, namer)
+    graph_map: dict[str, dict[str, dict]] = {"@default": {}}
+    flatten_mod.create_node_map(renamed, graph_map, namer=namer)
+    return list(
+        to_rdf_mod.node_map_to_rdf(
+            graph_map,
+            namer,
+            produce_generalized_rdf=options.produce_generalized_rdf,
+            rdf_direction=options.rdf_direction,
+        )
+    )
+
+
+def from_rdf(
+    triples: Iterable[Triple],
+    options: Optional[Options] = None,
+    use_native_types: bool = False,
+    use_rdf_type: bool = False,
+    **kwargs,
+) -> list:
+    """Triples → expanded JSON-LD. Parity: api.rb:584-600."""
+    options = _make_options(options, **kwargs)
+    return from_rdf_mod.from_rdf(
+        list(triples),
+        ordered=options.ordered,
+        use_native_types=use_native_types,
+        use_rdf_type=use_rdf_type,
+        rdf_direction=options.rdf_direction,
+    )

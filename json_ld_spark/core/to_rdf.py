@@ -1,0 +1,178 @@
+"""Deserialize JSON-LD to RDF: expanded/flattened document → triples.
+
+Implements W3C JSON-LD 1.1 §8 (Deserialize JSON-LD to RDF Algorithm).
+Parity targets (reference, read-only):
+  - API.toRdf driver      /root/reference/lib/json/ld/api.rb:525-562
+  - item_to_rdf           /root/reference/lib/json/ld/to_rdf.rb:19-156
+  - parse_list            to_rdf.rb:167-187
+  - literal forms         to_rdf.rb:23-79 (see core/rdf.py)
+
+Design note (SURVEY §3.3): the reference's own streaming reader proves
+triple emission needs no global state — this function is pure per
+document, which is what makes the Spark job embarrassingly parallel
+until canonicalization.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Optional
+
+from json_ld_spark.core.keywords import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    BlankNodeNamer,
+    is_absolute_iri,
+    is_blank_node_id,
+    is_list_object,
+    is_value_object,
+)
+from json_ld_spark.core.rdf import (
+    Term,
+    Triple,
+    as_term,
+    bnode,
+    iri,
+    object_to_rdf_literal,
+)
+
+
+def _valid_subject(t: Term) -> bool:
+    return t.kind == "bnode" or (t.kind == "iri" and is_absolute_iri(t.value))
+
+
+def _valid_predicate(t: Term, generalized: bool) -> bool:
+    if t.kind == "bnode":
+        return generalized  # api.rb:550
+    return t.kind == "iri" and is_absolute_iri(t.value)
+
+
+def _valid_object(t: Term) -> bool:
+    return t.kind == "literal" or _valid_subject(t)
+
+
+def node_map_to_rdf(
+    graph_map: dict[str, dict[str, dict]],
+    namer: BlankNodeNamer,
+    produce_generalized_rdf: bool = False,
+    rdf_direction: Optional[str] = None,
+) -> Iterator[Triple]:
+    """Node map → triples. Parity: api.rb:544-560."""
+    for graph_name in sorted(graph_map.keys()):
+        if graph_name == "@default":
+            graph_term: Optional[Term] = None
+        elif is_blank_node_id(graph_name):
+            graph_term = bnode(graph_name)
+        elif is_absolute_iri(graph_name):
+            graph_term = iri(graph_name)
+        else:
+            continue  # relative graph names are skipped
+        nodes = graph_map[graph_name]
+        for subject_id in sorted(nodes.keys()):
+            node = nodes[subject_id]
+            for triple in _node_to_rdf(node, namer, rdf_direction):
+                s, p, o = triple
+                if (
+                    _valid_subject(s)
+                    and _valid_predicate(p, produce_generalized_rdf)
+                    and _valid_object(o)
+                ):
+                    yield Triple(s, p, o, graph_term)
+
+
+def _subject_term(node: dict, namer: BlankNodeNamer) -> Term:
+    sid = node.get("@id")
+    if sid is None:
+        return bnode(namer.get_name())
+    return as_term(sid)
+
+
+def _node_to_rdf(
+    node: dict, namer: BlankNodeNamer, rdf_direction: Optional[str]
+) -> Iterator[tuple[Term, Term, Term]]:
+    """One node-map node → (s, p, o) tuples. Parity: item_to_rdf,
+    to_rdf.rb:19-156, operating on node-map entries (values are already
+    node references / value objects / list objects)."""
+    subject = _subject_term(node, namer)
+    for prop in sorted(node.keys()):
+        values = node[prop]
+        if prop == "@type":
+            values = values if isinstance(values, list) else [values]
+            for t in values:
+                yield subject, iri(RDF_TYPE), as_term(t)
+            continue
+        if prop in ("@id", "@index", "@graph", "@included", "@annotation"):
+            continue
+        if prop == "@reverse":
+            # node maps resolve @reverse during creation; handle raw
+            # expanded input defensively (to_rdf.rb:109-123)
+            for rprop, rvalues in values.items():
+                for rv in rvalues:
+                    o = _object_term(rv, namer, rdf_direction)
+                    if o is not None:
+                        obj_term, extra = o
+                        yield from extra
+                        yield obj_term, iri(rprop), subject
+            continue
+        if prop.startswith("@"):
+            continue
+        values = values if isinstance(values, list) else [values]
+        pred = as_term(prop)
+        for value in values:
+            res = _object_term(value, namer, rdf_direction)
+            if res is None:
+                continue
+            obj_term, extra = res
+            yield from extra
+            yield subject, pred, obj_term
+
+
+def _object_term(
+    value: Any, namer: BlankNodeNamer, rdf_direction: Optional[str]
+) -> Optional[tuple[Term, list]]:
+    """Value → (object term, [list-chain triples])."""
+    if is_value_object(value):
+        lit = object_to_rdf_literal(
+            value["@value"],
+            value.get("@type"),
+            value.get("@language"),
+            value.get("@direction"),
+            rdf_direction,
+        )
+        return lit, []
+    if is_list_object(value):
+        chain: list[tuple[Term, Term, Term]] = []
+        head = _parse_list(value["@list"], namer, rdf_direction, chain)
+        return head, chain
+    if isinstance(value, dict):
+        sid = value.get("@id")
+        if sid is None:
+            return bnode(namer.get_name()), []
+        if not (is_blank_node_id(sid) or is_absolute_iri(sid)):
+            return None  # relative IRIs don't survive toRDF
+        return as_term(sid), []
+    return None
+
+
+def _parse_list(
+    items: list,
+    namer: BlankNodeNamer,
+    rdf_direction: Optional[str],
+    out: list,
+) -> Term:
+    """rdf:first/rdf:rest chain. Parity: parse_list, to_rdf.rb:167-187."""
+    if not items:
+        return iri(RDF_NIL)
+    nodes = [bnode(namer.get_name()) for _ in items]
+    for i, item in enumerate(items):
+        res = _object_term(item, namer, rdf_direction)
+        first: Term = iri(RDF_NIL)
+        if res is not None:
+            obj_term, extra = res
+            out.extend(extra)
+            first = obj_term
+        out.append((nodes[i], iri(RDF_FIRST), first))
+        rest: Term = nodes[i + 1] if i + 1 < len(nodes) else iri(RDF_NIL)
+        out.append((nodes[i], iri(RDF_REST), rest))
+    return nodes[0]
