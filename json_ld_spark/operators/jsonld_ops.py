@@ -1,0 +1,238 @@
+"""Spark operators for the KG pipeline: turn → JSON-LD document →
+expanded → node map → (subj, pred, obj) triples.
+
+Execution shape (SURVEY §3.1 Spark equivalent):
+    read transcripts
+      → window row_number/lead over (conv_id, turn_idx)   [stable order]
+      → mapInPandas(build doc + mention detect + expand + toRDF)
+      → triples DataFrame → global dedup of cross-turn nodes
+      → write (bucketed by conv_id)
+
+The UDF stage is embarrassingly parallel per turn — the reference's own
+streaming reader (streaming_reader.rb:29-54) is the license: triple
+emission never needs cross-document state. Blank nodes get
+per-document deterministic labels (utils.rb:283-310 adapted: namer
+prefix = conv/turn key) so no global counter exists at 10^12 scale.
+
+All Python execution is Arrow-batched (mapInPandas); mention counting
+is vectorized per surface over each batch (pandas .str.count), not
+per-row.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from json_ld_spark.sources.gazetteer import (
+    CONV_NS,
+    GAZETTEER,
+    KG_CONTEXT,
+    TURN_NS,
+    VOCAB,
+    entity_iri,
+)
+
+TRIPLE_SCHEMA = (
+    "conv_id string, turn_idx int, subj string, pred string, "
+    "obj_value string, obj_is_iri boolean, obj_datatype string, "
+    "obj_language string, graph string, error_code string, error_msg string"
+)
+
+_NEXT_TURN_CONTEXT = {**KG_CONTEXT,
+                      "nextTurn": {"@id": VOCAB + "nextTurn", "@type": "@id"}}
+
+
+def turn_iri(conv_id: str, turn_idx: int) -> str:
+    return f"{TURN_NS}{conv_id}/{turn_idx}"
+
+
+def conv_iri(conv_id: str) -> str:
+    return f"{CONV_NS}{conv_id}"
+
+
+def build_turn_document(
+    conv_id: str,
+    turn_idx: int,
+    role: Optional[str],
+    text: Optional[str],
+    tool: Optional[str],
+    ts_str: Optional[str],
+    next_turn_idx: Optional[int],
+    mentions: list[tuple[int, str, int]],  # (entity_id, surface, count)
+) -> dict:
+    """Deterministic turn → JSON-LD document (SURVEY §2.12).
+
+    Mention nodes carry explicit doc-local bnode ids (_:m{entity_id});
+    the per-doc namer relabels them in first-visit order, mirroring the
+    provisional-id pattern of streaming_reader.rb:97-137.
+    """
+    doc: dict = {
+        "@id": turn_iri(conv_id, turn_idx),
+        "@type": "Turn",
+        "index": int(turn_idx),
+        "partOf": {"@id": conv_iri(conv_id), "@type": "Conversation"},
+    }
+    if role is not None:
+        doc["role"] = role
+    if text is not None:
+        doc["text"] = text
+    if tool is not None:
+        doc["tool"] = tool
+    if ts_str is not None:
+        doc["ts"] = ts_str
+    if next_turn_idx is not None:
+        doc["nextTurn"] = turn_iri(conv_id, int(next_turn_idx))
+    if mentions:
+        doc["mentions"] = [
+            {
+                "@id": f"_:m{eid}",
+                "@type": "Mention",
+                "label": surface,
+                "score": int(count),
+                "of": entity_iri_by_id(eid),
+            }
+            for eid, surface, count in mentions
+        ]
+    return doc
+
+
+_ENTITY_BY_ID = {eid: entity_iri(suffix) for eid, _, suffix in GAZETTEER}
+
+
+def entity_iri_by_id(eid: int) -> str:
+    return _ENTITY_BY_ID[eid]
+
+
+def with_stable_turn_order(transcripts: DataFrame) -> DataFrame:
+    """Stable turn ordering + nextTurn linkage (the north rule's
+    window): row_number + lead over (conv_id, turn_idx).
+
+    One shuffle on conv_id; the same partitioning then feeds the
+    emission UDF, so no second shuffle before write when the sink is
+    bucketed by conv_id.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return transcripts.select(
+        "*",
+        F.row_number().over(w).alias("turn_rank"),
+        F.lead("turn_idx").over(w).alias("next_turn_idx"),
+    )
+
+
+def _triples_batch_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batch of turns → Arrow batch of triples."""
+    # imports inside the worker so the closure pickles cheaply
+    from json_ld_spark.core import api as core_api
+    from json_ld_spark.core.context import parse_context_cached
+    from json_ld_spark.core.errors import JsonLdError
+    from json_ld_spark.core.keywords import BlankNodeNamer
+
+    ctx = parse_context_cached(_NEXT_TURN_CONTEXT)  # once per worker (lru)
+    surface_patterns = [
+        (eid, surface, re.compile(re.escape(surface)))
+        for eid, surface, _ in GAZETTEER
+    ]
+
+    for pdf in batches:
+        ts_str = pdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S")
+        # vectorized mention counting: one pass per gazetteer surface
+        # over the whole batch (never per-row regex compilation)
+        texts = pdf["text"].fillna("")
+        counts = {
+            eid: texts.str.count(pattern)
+            for eid, _surface, pattern in surface_patterns
+        }
+        rows: list[tuple] = []
+        for i in range(len(pdf)):
+            conv_id = pdf["conv_id"].iloc[i]
+            turn_idx = int(pdf["turn_idx"].iloc[i])
+            mentions = [
+                (eid, surface, int(counts[eid].iloc[i]))
+                for eid, surface, _ in surface_patterns
+                if counts[eid].iloc[i] > 0
+            ]
+            next_idx = pdf["next_turn_idx"].iloc[i]
+            doc = build_turn_document(
+                conv_id,
+                turn_idx,
+                pdf["role"].iloc[i] if pd.notna(pdf["role"].iloc[i]) else None,
+                pdf["text"].iloc[i] if pd.notna(pdf["text"].iloc[i]) else None,
+                pdf["tool"].iloc[i] if pd.notna(pdf["tool"].iloc[i]) else None,
+                ts_str.iloc[i] if pd.notna(ts_str.iloc[i]) else None,
+                int(next_idx) if pd.notna(next_idx) else None,
+                mentions,
+            )
+            namer = BlankNodeNamer(prefix=f"{conv_id}t{turn_idx}m")
+            try:
+                expanded = core_api.expand_with_context(doc, ctx)
+                triples = core_api.expanded_to_rdf(expanded, namer=namer)
+            except JsonLdError as e:  # quarantine, never fail the task
+                rows.append(
+                    (conv_id, turn_idx, None, None, None, None, None, None,
+                     None, e.code, str(e))
+                )
+                continue
+            for t in triples:
+                subj = ("_:" + t.subject.value) if t.subject.kind == "bnode" else t.subject.value
+                obj_is_iri = t.obj.kind != "literal"
+                obj_value = (
+                    ("_:" + t.obj.value) if t.obj.kind == "bnode" else t.obj.value
+                )
+                rows.append(
+                    (
+                        conv_id,
+                        turn_idx,
+                        subj,
+                        t.predicate.value,
+                        obj_value,
+                        obj_is_iri,
+                        None if obj_is_iri else t.obj.datatype,
+                        None if obj_is_iri else t.obj.language,
+                        ("_:" + t.graph.value if t.graph.kind == "bnode" else t.graph.value)
+                        if t.graph is not None
+                        else None,
+                        None,
+                        None,
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "conv_id", "turn_idx", "subj", "pred", "obj_value",
+                "obj_is_iri", "obj_datatype", "obj_language", "graph",
+                "error_code", "error_msg",
+            ],
+        )
+
+
+def emit_triples(transcripts: DataFrame, ordered: bool = True) -> DataFrame:
+    """Transcripts → triples DataFrame (errors quarantined in-band).
+
+    Cross-turn duplicate facts (the Conversation node re-asserted by
+    every turn) are globally deduplicated — the relational half of
+    create_node_map's add_value(allow_duplicate:false) merge
+    (flatten.rb:85,120): per-doc merge in the UDF, global merge as a
+    dropDuplicates on the triple key.
+    """
+    src = with_stable_turn_order(transcripts) if ordered else transcripts.select(
+        "*", F.lit(None).cast("int").alias("next_turn_idx")
+    )
+    triples = src.mapInPandas(_triples_batch_iter, schema=TRIPLE_SCHEMA)
+    key = ["subj", "pred", "obj_value", "obj_is_iri", "obj_datatype",
+           "obj_language", "graph"]
+    return triples.dropDuplicates(key)
+
+
+def quarantined(triples: DataFrame) -> DataFrame:
+    return triples.filter(F.col("error_code").isNotNull())
+
+
+def valid_triples(triples: DataFrame) -> DataFrame:
+    return triples.filter(F.col("error_code").isNull())
