@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes the engine's operator surface (SURVEY.md §2 +
+training-data ops); oracle_sql() gives the ANSI-SQL equivalent DuckDB
+runs on the same parquet views. Queries whose semantics are not
+SQL-expressible (iterative connected components, hash-seeded LSH,
+SimHash banding) have no oracle entry → driver records rows-only.
 """
 
 from __future__ import annotations
@@ -12,27 +12,604 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+VOCAB = "https://example.org/kg/vocab#"
+RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+TURN_NS = "https://example.org/kg/turn/"
+CONV_NS = "https://example.org/kg/conv/"
+
+_T_CTE = """
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS next_turn_idx
+  FROM (
+    SELECT printf('conv%08d', doc_id // 5) AS conv_id,
+           CAST(doc_id % 5 AS INT) AS turn_idx,
+           (['user','assistant','tool'])[CAST(doc_id % 3 AS INT) + 1] AS role,
+           text,
+           CASE WHEN doc_id % 3 = 2 THEN 'search' END AS tool,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + (doc_id % 5) * INTERVAL 1 MINUTE AS ts
+    FROM documents)
+"""
+
+
+def _gazetteer_values() -> str:
+    from json_ld_spark.sources.gazetteer import GAZETTEER, entity_iri
+
+    rows = ", ".join(
+        f"({eid}, '{surface}', '{entity_iri(suffix)}')"
+        for eid, surface, suffix in GAZETTEER
+    )
+    return f"(VALUES {rows}) AS g(entity_id, surface, iri)"
+
+
+_BASE_CTE = f"""
+WITH t AS ({_T_CTE}),
+base AS (
+  SELECT '{TURN_NS}' || conv_id || '/' || turn_idx AS turn,
+         '{CONV_NS}' || conv_id AS conv, *
+  FROM t
+)
+"""
+
+_MENTION_CTE = f"""
+WITH t AS ({_T_CTE}),
+m AS (
+  SELECT t.conv_id, t.turn_idx, g.entity_id, g.surface, g.iri,
+         CAST((length(t.text) - length(replace(t.text, g.surface, '')))
+              / length(g.surface) AS BIGINT) AS cnt
+  FROM t JOIN {_gazetteer_values()}
+    ON contains(t.text, g.surface)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY entity_id) - 1 AS rnk
+  FROM m
+),
+b AS (
+  SELECT '{TURN_NS}' || conv_id || '/' || turn_idx AS turn,
+         '_:' || conv_id || 't' || turn_idx || 'm' || rnk AS bn, *
+  FROM r
+)
+"""
+
+_NULLS = (
+    "CAST(NULL AS VARCHAR) AS obj_datatype, "
+    "CAST(NULL AS VARCHAR) AS obj_language, CAST(NULL AS VARCHAR) AS graph"
+)
+
+
+# ---------------------------------------------------------------------------
+# Spark query helpers
+# ---------------------------------------------------------------------------
+
+def _derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_ld_spark.sources.transcripts import derive_transcripts_from_documents
+
+    return derive_transcripts_from_documents(spark, sf_dir)
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_ld_spark.operators.jsonld_ops import emit_triples, valid_triples
+
+    return valid_triples(emit_triples(_derived(spark, sf_dir)))
+
+
+_TRIPLE_COLS = [
+    "subj", "pred", "obj_value", "obj_is_iri",
+    "obj_datatype", "obj_language", "graph",
+]
+
+
+def q_transcripts_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _derived(spark, sf_dir)
+
+
+def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_ld_spark.operators.jsonld_ops import with_stable_turn_order
+
+    return with_stable_turn_order(_derived(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "turn_rank", "next_turn_idx"
+    )
+
+
+def q_kg_triples_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    return t.filter(
+        ~F.col("subj").startswith("_:")
+        & (F.col("pred") != VOCAB + "mentions")
+    ).select(*_TRIPLE_COLS)
+
+
+def q_kg_triples_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    return t.filter(
+        F.col("subj").startswith("_:") | (F.col("pred") == VOCAB + "mentions")
+    ).select(*_TRIPLE_COLS)
+
+
+def q_kg_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    return (
+        t.groupBy(F.regexp_extract("subj", "conv[0-9]{8}", 0).alias("conv"))
+        .agg(F.count("*").alias("n_triples"))
+    )
+
+
+def q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    m = t.filter(F.col("pred") == VOCAB + "of").select(
+        "conv_id", "turn_idx", F.col("obj_value").alias("entity")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.turn_idx") == F.col("b.turn_idx"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .groupBy(
+            F.col("a.entity").alias("entity_a"), F.col("b.entity").alias("entity_b")
+        )
+        .agg(F.count("*").alias("n_cooccur"))
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_ld_spark.operators.textstats import document_stats
+
+    return document_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_ld_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_ld_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, threshold=0.05)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_ld_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_neardup_pairs(docs).filter(F.col("hamming") <= 16)
+
+
+def q_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_ld_spark.operators.dedup import minhash_dedup_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_components(docs, threshold=0.3)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_ld_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.5)
+
+
+def _query_vec_df(spark: SparkSession, sf_dir: str):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_ld_spark.functions.columns import cosine_similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec_df(spark, sf_dir)
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("_q")), 4).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_ld_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_topk(emb, qvec, k=10)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_ld_spark.operators.similarity import (
+        build_ivf_centroids,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cents = build_ivf_centroids(emb)
+    assigned = ivf_assign(emb, cents)
+    return ivf_topk(assigned, cents, qvec, k=10)
+
+
+def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q_top_suppliers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "s_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.col("s_name"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "s_name", "revenue", "rank")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction pipeline at sf0.001."""
+    return _triples(spark, SF_SMALL).select(
+        "conv_id", "turn_idx", *_TRIPLE_COLS
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts_derive": q_transcripts_derive,
+        "turn_ordering": q_turn_ordering,
+        "kg_triples_meta": q_kg_triples_meta,
+        "kg_triples_mentions": q_kg_triples_mentions,
+        "kg_triple_counts": q_kg_triple_counts,
+        "entity_cooccurrence": q_entity_cooccurrence,
+        "doc_stats": q_doc_stats,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_pairs": q_simhash_pairs,
+        "minhash_components": q_minhash_components,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "lineitem_agg": q_lineitem_agg,
+        "revenue_by_nation": q_revenue_by_nation,
+        "events_daily": q_events_daily,
+        "top_suppliers_window": q_top_suppliers_window,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from json_ld_spark.operators.textstats import LANG_MARKERS
+
+    def count_word(w: str) -> str:
+        pad = "' ' || lower(text) || ' '"
+        return (
+            f"CAST((length({pad}) - length(replace({pad}, ' {w} ', '')))"
+            f" / {len(w) + 2} AS BIGINT)"
+        )
+
+    def lang_score(lang: str) -> str:
+        return " + ".join(count_word(w) for w in LANG_MARKERS[lang])
+
+    stopwords = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    hits = " + ".join(count_word(w) for w in stopwords)
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    trimmed = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+    n_tokens_ws = (
+        f"CASE WHEN length({trimmed}) = 0 THEN 0 "
+        f"ELSE len(string_split({trimmed}, ' ')) END"
+    )
+    punct = (
+        "(length(text) - length(regexp_replace(text,"
+        " '[.,;:!?''\"()\\[\\]{}-]', '', 'g')))"
+    )
+    punct_ratio = f"CASE WHEN length(text)=0 THEN 0.0 ELSE {punct} * 1.0 / length(text) END"
+    stop_ratio = (
+        f"CASE WHEN {n_tokens_ws} = 0 THEN 0.0 "
+        f"ELSE ({hits}) * 1.0 / {n_tokens_ws} END"
+    )
+    quality = (
+        f"(CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1 ELSE 0 END) * 0.4"
+        f" + (CASE WHEN {punct_ratio} <= 0.2 THEN 1 ELSE 0 END) * 0.3"
+        f" + (CASE WHEN {stop_ratio} >= 0.05 THEN 1 ELSE 0 END) * 0.3"
+    )
+    shingles = (
+        f"list_transform(generate_series(1, greatest(length({norm}) - 7, 1)),"
+        f" i -> md5(substring({norm}, i, 8)))"
+    )
+    # DuckDB regexes are RE2: codepoints are \x{....}, not Java's \uXXXX
+    cjk = (
+        "length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))"
+        " < length(text)"
+    )
+    lang_guess = f"""
+      CASE WHEN {cjk} THEN 'zh'
+           WHEN greatest({lang_score('en')}, {lang_score('es')},
+                         {lang_score('de')}, {lang_score('fr')}) = 0 THEN 'und'
+           WHEN {lang_score('en')} = greatest({lang_score('en')}, {lang_score('es')},
+                         {lang_score('de')}, {lang_score('fr')}) THEN 'en'
+           WHEN {lang_score('es')} = greatest({lang_score('en')}, {lang_score('es')},
+                         {lang_score('de')}, {lang_score('fr')}) THEN 'es'
+           WHEN {lang_score('de')} = greatest({lang_score('en')}, {lang_score('es')},
+                         {lang_score('de')}, {lang_score('fr')}) THEN 'de'
+           ELSE 'fr' END
     """
-    return {}
+
+    grams = (
+        "list_distinct(list_transform("
+        "generate_series(0, greatest(len(words) - 3, 0)),"
+        " i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')))"
+    )
+
+    cos = (
+        "round(list_dot_product(ad, bd) /"
+        " (sqrt(list_dot_product(ad, ad)) * sqrt(list_dot_product(bd, bd))), 4)"
+    )
+
+    return {
+        "transcripts_derive": f"SELECT conv_id, turn_idx, role, text, tool, ts FROM ({_T_CTE})",
+        "turn_ordering": f"""
+            SELECT conv_id, turn_idx,
+                   CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT)
+                     AS turn_rank,
+                   next_turn_idx
+            FROM ({_T_CTE})
+        """,
+        "kg_triples_meta": _BASE_CTE + f"""
+        SELECT turn AS subj, '{RDFNS}type' AS pred,
+               '{VOCAB}Turn' AS obj_value, TRUE AS obj_is_iri, {_NULLS}
+        FROM base
+        UNION ALL
+        SELECT turn, '{VOCAB}index', CAST(turn_idx AS VARCHAR), FALSE,
+               '{XSD}integer', NULL, NULL FROM base
+        UNION ALL
+        SELECT turn, '{VOCAB}partOf', conv, TRUE, NULL, NULL, NULL FROM base
+        UNION ALL
+        SELECT DISTINCT conv, '{RDFNS}type', '{VOCAB}Conversation', TRUE,
+               NULL, NULL, NULL FROM base
+        UNION ALL
+        SELECT turn, '{VOCAB}role', role, FALSE, '{XSD}string', NULL, NULL
+        FROM base
+        UNION ALL
+        SELECT turn, '{VOCAB}text', text, FALSE, '{XSD}string', NULL, NULL
+        FROM base
+        UNION ALL
+        SELECT turn, '{VOCAB}tool', tool, FALSE, '{XSD}string', NULL, NULL
+        FROM base WHERE tool IS NOT NULL
+        UNION ALL
+        SELECT turn, '{VOCAB}ts', strftime(ts, '%Y-%m-%dT%H:%M:%S'), FALSE,
+               '{XSD}dateTime', NULL, NULL FROM base
+        UNION ALL
+        SELECT turn, '{VOCAB}nextTurn',
+               '{TURN_NS}' || conv_id || '/' || next_turn_idx, TRUE,
+               NULL, NULL, NULL
+        FROM base WHERE next_turn_idx IS NOT NULL
+        """,
+        "kg_triples_mentions": _MENTION_CTE + f"""
+        SELECT turn AS subj, '{VOCAB}mentions' AS pred, bn AS obj_value,
+               TRUE AS obj_is_iri, {_NULLS} FROM b
+        UNION ALL
+        SELECT bn, '{RDFNS}type', '{VOCAB}Mention', TRUE, NULL, NULL, NULL FROM b
+        UNION ALL
+        SELECT bn, '{VOCAB}label', surface, FALSE, '{XSD}string', NULL, NULL FROM b
+        UNION ALL
+        SELECT bn, '{VOCAB}score', CAST(cnt AS VARCHAR), FALSE,
+               '{XSD}integer', NULL, NULL FROM b
+        UNION ALL
+        SELECT bn, '{VOCAB}of', iri, TRUE, NULL, NULL, NULL FROM b
+        """,
+        "kg_triple_counts": _BASE_CTE.replace("WITH t AS", "WITH t AS") + f"""
+        , meta AS (
+          SELECT turn AS subj FROM base
+          UNION ALL SELECT turn FROM base
+          UNION ALL SELECT turn FROM base
+          UNION ALL SELECT DISTINCT conv FROM base
+          UNION ALL SELECT turn FROM base
+          UNION ALL SELECT turn FROM base
+          UNION ALL SELECT turn FROM base WHERE tool IS NOT NULL
+          UNION ALL SELECT turn FROM base
+          UNION ALL SELECT turn FROM base WHERE next_turn_idx IS NOT NULL
+        ), men AS (
+          SELECT conv_id, count(*) * 5 AS n
+          FROM (
+            SELECT t.conv_id FROM ({_T_CTE}) t
+            JOIN {_gazetteer_values()} ON contains(t.text, g.surface)
+          ) GROUP BY conv_id
+        ), metac AS (
+          SELECT regexp_extract(subj, 'conv[0-9]{{8}}', 0) AS conv, count(*) AS n
+          FROM meta GROUP BY 1
+        )
+        SELECT metac.conv AS conv,
+               metac.n + coalesce(men.n, 0) AS n_triples
+        FROM metac LEFT JOIN men ON metac.conv = men.conv_id
+        """,
+        "entity_cooccurrence": _MENTION_CTE + """
+        SELECT a.iri AS entity_a, b2.iri AS entity_b, count(*) AS n_cooccur
+        FROM m a JOIN m b2
+          ON a.conv_id = b2.conv_id AND a.turn_idx = b2.turn_idx
+         AND a.iri < b2.iri
+        GROUP BY 1, 2
+        """,
+        "doc_stats": f"""
+        SELECT doc_id,
+               {lang_guess} AS lang_guess,
+               {n_tokens_ws} AS n_tokens_ws,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS n_tokens_bpe,
+               round({punct_ratio}, 6) AS punct_ratio,
+               round({stop_ratio}, 6) AS stopword_ratio,
+               round({quality}, 6) AS quality,
+               md5({norm}) AS fp_md5,
+               list_min({shingles}) AS fp_shingle
+        FROM documents
+        """,
+        "dedup_exact": f"""
+        SELECT md5({norm}) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard": f"""
+        WITH g AS (
+          SELECT doc_id AS _id, {grams} AS _grams,
+                 list_min(list_transform({grams}, s -> md5(s))) AS _blk
+          FROM (SELECT doc_id, string_split({norm}, ' ') AS words, text
+                FROM documents)
+        )
+        SELECT a._id AS id_a, b._id AS id_b,
+               round(len(list_intersect(a._grams, b._grams)) * 1.0 /
+                     (len(a._grams) + len(b._grams)
+                      - len(list_intersect(a._grams, b._grams))), 4) AS jaccard
+        FROM g a JOIN g b ON a._blk = b._blk AND a._id < b._id
+        WHERE len(list_intersect(a._grams, b._grams)) * 1.0 /
+              (len(a._grams) + len(b._grams)
+               - len(list_intersect(a._grams, b._grams))) >= 0.05
+        """,
+        "embedding_neardup": f"""
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))), 4) >= 0.5
+        """,
+        "ann_brute_topk": """
+        WITH q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0
+        ), e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        )
+        SELECT vec_id,
+               round(list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) *
+                      sqrt(list_dot_product(qv, qv))), 4) AS cosine
+        FROM e, q
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10
+        """,
+        "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2
+        """,
+        "revenue_by_nation": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+        """,
+        "events_daily": """
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+        """,
+        "top_suppliers_window": """
+        WITH rev AS (
+          SELECT n_name, s_name,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY 1, 2
+        )
+        SELECT n_name, s_name, revenue, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY n_name
+                         ORDER BY revenue DESC, s_name) AS INT) AS rank
+          FROM rev
+        ) WHERE rank <= 3
+        """,
+    }

@@ -1,0 +1,222 @@
+"""Deduplication operators for training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale notes:
+  - exact dedup is a hash-groupBy with map-side combine (one shuffle
+    on the md5 of the normalized text, never on the text itself — at
+    100 TB shuffling full text bodies is the classic mistake).
+  - minhash/simhash signatures are JVM column expressions; candidate
+    generation shuffles only (id, band_hash) pairs.
+  - embedding near-dup uses label/sign-LSH blocking so the pair join
+    is per-bucket, never the full cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from json_ld_spark.functions.columns import cosine_similarity
+from json_ld_spark.operators.canonicalize import (
+    connected_components,
+    jaccard_filter,
+    minhash_candidate_pairs,
+)
+from json_ld_spark.operators.textstats import fingerprint_md5
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_dups, keep_id): one row per distinct normalized
+    text; keep_id = min id (the canonical representative)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"), fingerprint_md5(F.col(text_col)).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("keep_id"))
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Documents minus exact (normalized) duplicates — keeps min-id."""
+    w = Window.partitionBy(fingerprint_md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_dedup_components(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id, component): near-duplicate clusters via MinHash blocking →
+    Jaccard verify → connected components. Singletons omitted."""
+    pairs = minhash_candidate_pairs(docs, id_col, text_col, num_hashes, bands)
+    verified = jaccard_filter(pairs, docs, id_col, text_col, threshold)
+    return connected_components(verified.select("id_a", "id_b"))
+
+
+def simhash64(text_col, shingle: int = 4):
+    """64-bit SimHash over character shingles, as a JVM expression:
+    per-bit majority vote of shingle hashes, folded into a bigint."""
+    lowered = F.lower(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(lowered) - (shingle - 1), F.lit(1))),
+        lambda i: F.substring(lowered, 1, 2147483647).substr(i, F.lit(shingle)),
+    )
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    def _vote(bit: int):
+        # two-arg closure: Spark's higher-order lambdas dispatch on the
+        # Python arity, so default-arg binding would add a phantom param.
+        # bit 63 is the two's-complement sign bit (1<<63 overflows long).
+        mask = (1 << bit) if bit < 63 else -(1 << 63)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), _vote(b)) for b in range(64)]
+    result = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        result = result + F.when(vote > 0, F.lit(1 << b if b < 63 else -(1 << 63))).otherwise(0).cast("long")
+    return result
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    block_bits: int = 16,
+) -> DataFrame:
+    """Candidate pairs whose SimHash agrees on each of four 16-bit
+    blocks (one block match suffices — standard Hamming-LSH banding)."""
+    sig = docs.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh")
+    )
+    mask = (1 << block_bits) - 1
+    blocked = sig.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("_sh", i * block_bits).bitwiseAND(F.lit(mask))
+                    for i in range(64 // block_bits)
+                ]
+            )
+        ).alias("_blk", "_key"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over blocked candidates (block =
+    shared minimum n-gram md5, a deterministic 1-band blocking that
+    the SQL oracle reproduces verbatim)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    words = F.split(norm, " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    g = docs.select(
+        F.col(id_col).alias("_id"),
+        grams.alias("_grams"),
+        F.array_min(F.transform(grams, lambda s: F.md5(s))).alias("_blk"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a._grams", "b._grams"))
+                / F.size(F.array_union("a._grams", "b._grams"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine within blocking buckets.
+
+    ``block_col`` is the bucket (a cluster/label column when present;
+    sign-LSH via ``sign_lsh_bucket`` otherwise) — the join is
+    per-bucket, so cost is Σ bucket² not N²."""
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col(block_col).alias("_b")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine_similarity(F.col("a._v"), F.col("b._v")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def sign_lsh_bucket(vec_col, n_planes: int = 8, seed: int = 7):
+    """Random-hyperplane LSH bucket id from deterministic pseudo-planes:
+    plane p's component j = sign derived from xxhash64(p, j). JVM-only."""
+    def plane_dot(p: int):
+        return F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec_col) - 1),
+                    lambda j, p=p: F.when(
+                        F.xxhash64(F.lit(p), j, F.lit(seed)) % 2 == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bucket = bucket * 2 + F.when(plane_dot(p) >= 0, 1).otherwise(0)
+    return bucket

@@ -1,0 +1,141 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Every operator is a pure column expression (JVM-side, codegen) with an
+exactly-equivalent ANSI-SQL form for the DuckDB oracle — hashes are
+md5 (identical across Spark and DuckDB; xxhash64 is Spark-only and is
+used only for internal blocking, never in query output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language marker words — crude n-gram heuristic; deterministic and
+# reproducible in SQL. Checked as ' word ' on a space-padded lowered
+# text so word boundaries are exact.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "que"],
+    "de": ["und", "der", "nicht"],
+    "fr": ["le", "la", "et"],
+}
+_CJK_RE = "[\\u4e00-\\u9fff]"
+
+
+def _count_word(text_col, word: str) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    return (
+        F.length(padded)
+        - F.length(F.replace(padded, F.lit(f" {word} "), F.lit("")))
+    ) / (len(word) + 2)
+
+
+def lang_score(text_col, lang: str) -> Column:
+    total = None
+    for w in LANG_MARKERS[lang]:
+        c = _count_word(text_col, w)
+        total = c if total is None else total + c
+    return total.cast("long")
+
+
+def language_guess(text_col) -> Column:
+    """argmax over marker scores; CJK codepoints short-circuit to zh.
+    Tie order: en > es > de > fr > und (deterministic)."""
+    zh = F.length(F.regexp_replace(text_col, _CJK_RE, "")) < F.length(text_col)
+    en, es, de, fr = (lang_score(text_col, lang) for lang in ("en", "es", "de", "fr"))
+    best = F.greatest(en, es, de, fr)
+    return (
+        F.when(zh, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def token_count_ws(text_col) -> Column:
+    """Whitespace token count."""
+    trimmed = F.trim(F.regexp_replace(text_col, "\\s+", " "))
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, " "))
+    )
+
+
+def token_count_bpe_ish(text_col) -> Column:
+    """BPE-flavored proxy: count of word/number/punct chunks
+    (regexp-token count, the standard pre-tokenizer shape)."""
+    return F.size(
+        F.regexp_extract_all(
+            text_col, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), F.lit(0)
+        )
+    )
+
+
+def punct_ratio(text_col) -> Column:
+    n_punct = F.length(text_col) - F.length(
+        F.regexp_replace(text_col, "[.,;:!?'\"()\\[\\]{}-]", "")
+    )
+    return F.when(F.length(text_col) == 0, F.lit(0.0)).otherwise(
+        n_punct / F.length(text_col)
+    )
+
+
+def stopword_ratio(text_col) -> Column:
+    stop = sum((LANG_MARKERS[lang_] for lang_ in LANG_MARKERS), [])
+    hits = None
+    for w in sorted(set(stop)):
+        c = _count_word(text_col, w)
+        hits = c if hits is None else hits + c
+    toks = token_count_ws(text_col)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(hits / toks)
+
+
+def quality_score(text_col) -> Column:
+    """Deterministic [0,1] quality score: length band + low punct +
+    stopword presence (the classic Gopher/C4-style heuristics made
+    reproducible)."""
+    length_ok = (F.length(text_col) >= 50) & (F.length(text_col) <= 5000)
+    punct_ok = punct_ratio(text_col) <= 0.2
+    stop_ok = stopword_ratio(text_col) >= 0.05
+    return (
+        length_ok.cast("int") * 0.4
+        + punct_ok.cast("int") * 0.3
+        + stop_ok.cast("int") * 0.3
+    )
+
+
+def fingerprint_md5(text_col) -> Column:
+    """Whole-document fingerprint: md5 of whitespace-normalized lower
+    text (md5 matches DuckDB bit-for-bit)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text_col), "\\s+", " ")))
+
+
+def shingle_fingerprint(text_col, k: int = 8) -> Column:
+    """Winnowing-style fingerprint: minimum md5 over all k-char
+    shingles of the normalized text (rolling-hash document signature;
+    identical lexicographic-min semantics in SQL)."""
+    norm = F.trim(F.regexp_replace(F.lower(text_col), "\\s+", " "))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+        lambda i: F.substring(norm, 1, 2147483647).substr(i, F.lit(k)),
+    )
+    return F.array_min(F.transform(shingles, lambda s: F.md5(s)))
+
+
+def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text-analysis columns over a documents table."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        language_guess(t).alias("lang_guess"),
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe_ish(t).alias("n_tokens_bpe"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        fingerprint_md5(t).alias("fp_md5"),
+        shingle_fingerprint(t).alias("fp_shingle"),
+    )

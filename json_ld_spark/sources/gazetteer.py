@@ -36,6 +36,13 @@ GAZETTEER: list[tuple[int, str, str]] = [
     (13, "flux capacitor", "flux-capacitor"),
     (14, "warp drive", "warp-drive"),
     (15, "neural lace", "neural-lace"),
+    # doc-domain surfaces: frequent in the synthetic documents corpus,
+    # so mention detection fires on documents-derived transcripts too
+    (16, "spark", "spark-engine"),
+    (17, "window", "window-fn"),
+    (18, "filter", "filter-op"),
+    (19, "customer", "customer-table"),
+    (20, "stream", "stream-src"),
 ]
 
 

@@ -1,0 +1,100 @@
+"""Mimics the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB over the same parquet tables,
+compare row count + order-insensitive values (columns sorted by name).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(str(v))
+        out.append("\x1f".join(vals))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __spark_entry__ as entry_mod
+
+    return entry_mod
+
+
+def _oracle_query_names():
+    import __spark_entry__ as entry_mod
+
+    return sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _oracle_query_names())
+def test_query_matches_oracle(spark, contract, name):
+    q = contract.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(SF_DIR)
+    res = con.execute(contract.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+    a = _normalize(spark_rows, spark_cols)
+    b = _normalize(duck_rows, duck_cols)
+    if a != b:
+        diffs = [
+            (x, y) for x, y in zip(a, b) if x != y
+        ][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_all_queries_run(spark, contract):
+    """Queries without oracles must still execute and return a stable
+    schema (driver rows-only check)."""
+    for name, q in contract.queries().items():
+        if name in contract.oracle_sql():
+            continue
+        df = q(spark, SF_DIR)
+        n = df.count()
+        assert n >= 0 and df.columns, f"{name} failed"
+
+
+def test_entry_smoke(spark, contract):
+    df = contract.entry(spark)
+    assert df.count() > 0
