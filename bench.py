@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
+sec}, "sf", plus triples/sec for the KG-emission headline}.
+
+Usage: python bench.py  (or spark-submit bench.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from json_ld_spark.plans.session import build_session
+
+    spark = build_session(app_name="json-ld-spark-bench", cpus=cpus,
+                          shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    timings: dict[str, float] = {}
+    total = 0.0
+
+    # headline: full KG construction (derive → window → expand/toRDF →
+    # dedup) — the triples/sec metric from BASELINE.json
+    t0 = time.time()
+    n_triples = entry._triples(spark, sf_dir).count()
+    kg_sec = time.time() - t0
+    timings["kg_emit_triples"] = round(kg_sec, 3)
+    total += kg_sec
+
+    bench_queries = [
+        "doc_stats",
+        "dedup_exact",
+        "ngram_jaccard",
+        "embedding_neardup",
+        "ann_brute_topk",
+        "ann_ivf_topk",
+        "entity_cooccurrence",
+        "lineitem_agg",
+        "revenue_by_nation",
+        "events_daily",
+        "top_suppliers_window",
+        "minhash_components",
+    ]
+    qmap = entry.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        qmap[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    result = {
+        "metric": "headline_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "kg_triples": n_triples,
+        "kg_triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec > 0 else None,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,13 +32,17 @@ def char_shingles(col, n: int = 3):
     )
 
 
+def _seeded_hash(seed: int):
+    # one-arg closure: a two-arg lambda would make Spark pass the array
+    # index as the second argument, silently overriding the seed
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
 def minhash_signature(shingles_col, num_hashes: int = 32):
     """Array of minhash values, one per seeded hash function."""
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform(shingles_col, _seeded_hash(i)))
             for i in range(num_hashes)
         ]
     )

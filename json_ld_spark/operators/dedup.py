@@ -200,16 +200,18 @@ def embedding_neardup_pairs(
 def sign_lsh_bucket(vec_col, n_planes: int = 8, seed: int = 7):
     """Random-hyperplane LSH bucket id from deterministic pseudo-planes:
     plane p's component j = sign derived from xxhash64(p, j). JVM-only."""
+    def _plane_weight(p: int):
+        # one-arg closure: a two-arg lambda would receive the array
+        # index as its second argument, clobbering the plane id
+        return lambda j: F.when(
+            F.xxhash64(F.lit(p), j, F.lit(seed)) % 2 == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
     def plane_dot(p: int):
         return F.aggregate(
             F.zip_with(
                 vec_col,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec_col) - 1),
-                    lambda j, p=p: F.when(
-                        F.xxhash64(F.lit(p), j, F.lit(seed)) % 2 == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
+                F.transform(F.sequence(F.lit(0), F.size(vec_col) - 1), _plane_weight(p)),
                 lambda x, w: x.cast("double") * w,
             ),
             F.lit(0.0),

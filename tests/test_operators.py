@@ -1,0 +1,176 @@
+"""Operator correctness on crafted inputs: dedup family, similarity
+search, canonicalization, text stats."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_ld_spark.operators.canonicalize import (
+    apply_merge_map,
+    build_merge_map,
+    connected_components,
+)
+from json_ld_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_dedup_components,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from json_ld_spark.operators.similarity import (
+    brute_force_topk,
+    build_ivf_centroids,
+    ivf_assign,
+    ivf_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark "
+        "cluster shuffles data across many executor nodes tonight"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra"),  # near dup
+        (4, base.replace("quick", "speedy")),  # near dup
+        (5, "completely different words about databases and indexes and queries and planners"),
+        (6, "  the   quick brown fox jumps over the lazy dog while the spark cluster shuffles data across many executor nodes tonight "),  # ws-normalized dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string").cache()
+
+
+def test_exact_dedup(spark, near_dup_docs):
+    groups = exact_dedup_groups(near_dup_docs).collect()
+    dup_group = [g for g in groups if g["n_dups"] == 3]
+    assert len(dup_group) == 1 and dup_group[0]["keep_id"] == 1
+    kept = exact_dedup(near_dup_docs)
+    assert kept.count() == 4  # 6 - 2 dups
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4, 5}
+
+
+def test_minhash_components(spark, near_dup_docs):
+    comps = minhash_dedup_components(near_dup_docs, threshold=0.6).collect()
+    by_id = {r["id"]: r["component"] for r in comps}
+    # 1,2,3,4,6 must share a component; 5 must not appear (singleton)
+    assert len({by_id[i] for i in (1, 2, 3, 4, 6)}) == 1
+    assert 5 not in by_id
+
+
+def test_simhash_near_dups(spark, near_dup_docs):
+    pairs = simhash_neardup_pairs(near_dup_docs).collect()
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert ham.get((1, 2)) == 0  # identical text → identical simhash
+    near = [p for p, h in ham.items() if h <= 12]
+    assert (1, 3) in near or (1, 4) in near
+
+
+def test_ngram_jaccard(spark, near_dup_docs):
+    pairs = ngram_jaccard_pairs(near_dup_docs, threshold=0.5).collect()
+    pairset = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in pairset
+    for r in pairs:
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_connected_components_chain(spark):
+    # a chain 1-2-3-4 plus isolated pair 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a int, id_b int"
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comps[1] == comps[2] == comps[3] == comps[4] == 1
+    assert comps[10] == comps[11] == 10
+
+
+def test_merge_map_relabel(spark):
+    comps = spark.createDataFrame(
+        [("b", "a"), ("a", "a"), ("z", "z")], "id string, component string"
+    )
+    mm = build_merge_map(comps)
+    triples = spark.createDataFrame(
+        [("b", "p", "z"), ("x", "p", "b")],
+        "subj string, pred string, obj_value string",
+    )
+    out = {tuple(r) for r in apply_merge_map(triples, mm).collect()}
+    assert out == {("a", "p", "z"), ("x", "p", "a")}
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for label in range(4):
+        center = [rnd.uniform(-1, 1) for _ in range(16)]
+        for i in range(25):
+            vec = [c + rnd.uniform(-0.05, 0.05) for c in center]
+            rows.append((label * 25 + i, vec, label))
+    return spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>, label int"
+    ).cache()
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    qvec = vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = brute_force_topk(vectors, qvec, k=5).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-3
+    # all top-5 from the query's own cluster
+    assert all(r["vec_id"] < 25 for r in top)
+
+
+def test_lsh_topk_recall(spark, vectors):
+    qvec = vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in brute_force_topk(vectors, qvec, k=5).collect()}
+    approx = {r["vec_id"] for r in lsh_topk(vectors, qvec, k=5, n_planes=4).collect()}
+    # query itself must be found; recall>=0.4 on this easy clustered set
+    assert 0 in approx
+    assert len(exact & approx) >= 2
+
+
+def test_ivf_topk(spark, vectors):
+    qvec = vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    cents = build_ivf_centroids(vectors, n_centroids=4, dim=16)
+    assigned = ivf_assign(vectors, cents)
+    assert assigned.count() == vectors.count()
+    top = ivf_topk(assigned, cents, qvec, k=5, nprobe=4).collect()
+    assert top[0]["vec_id"] == 0  # nprobe=all → exact
+
+
+def test_embedding_neardup_blocks(spark, vectors):
+    pairs = embedding_neardup_pairs(
+        vectors, threshold=0.99, block_col="label"
+    ).collect()
+    assert len(pairs) > 0
+    ids = {r["id_a"] // 25 for r in pairs} | {r["id_b"] // 25 for r in pairs}
+    # blocking by label means pairs never cross clusters
+    for r in pairs:
+        assert r["id_a"] // 25 == r["id_b"] // 25
+
+
+def test_textstats_values(spark):
+    from json_ld_spark.operators.textstats import document_stats
+
+    rows = [
+        (1, "the cat and the dog of the house"),
+        (2, "el perro y el gato que duerme en la casa"),
+        (3, "日本語のテキストですが漢字も含む 中文字符"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    stats = {r["doc_id"]: r for r in document_stats(df).collect()}
+    assert stats[1]["lang_guess"] == "en"
+    assert stats[2]["lang_guess"] == "es"
+    assert stats[3]["lang_guess"] == "zh"
+    assert stats[4]["lang_guess"] == "und"
+    assert stats[1]["n_tokens_ws"] == 8
+    assert stats[4]["n_tokens_ws"] == 0
+    assert stats[1]["fp_md5"] is not None and stats[1]["fp_shingle"] is not None
