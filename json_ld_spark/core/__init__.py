@@ -16,6 +16,7 @@ from json_ld_spark.core.api import (  # noqa: F401
     compact,
     expand,
     flatten,
+    frame,
     from_rdf,
     to_rdf,
 )

@@ -151,6 +151,45 @@ def expanded_to_rdf(
     )
 
 
+def frame(document: Any, frame_doc: Any, options: Optional[Options] = None,
+          **kwargs) -> dict:
+    """Frame a document. Parity: API.frame, api.rb:383-510."""
+    from json_ld_spark.core import framing as frame_mod
+
+    options = _make_options(options, **kwargs)
+    frame_loaded = _load(frame_doc)
+    expanded = expand(document, options)
+    frame_options = Options(
+        base=options.base,
+        processing_mode=options.processing_mode,
+        contexts=options.contexts,
+        ordered=options.ordered,
+        frame_expansion=True,
+    )
+    expanded_frame = expand(frame_loaded, frame_options)
+    expanded_frame = expanded_frame[0] if expanded_frame else {}
+
+    namer = BlankNodeNamer()
+    renamed = flatten_mod.rename_bnodes(expanded, namer)
+    graph_map: dict[str, dict[str, dict]] = {"@default": {}}
+    flatten_mod.create_node_map(renamed, graph_map, namer=namer)
+
+    state = frame_mod.FrameState(graph_map)
+    results: list = []
+    frame_mod.frame_node(
+        state, sorted(graph_map["@default"].keys()), expanded_frame, results, None
+    )
+    counts: dict = {}
+    frame_mod.count_bnode_identifiers(results, counts)
+    results = frame_mod.prune_bnodes(results, counts)
+    results = frame_mod.cleanup_preserve(results)
+
+    ctx = frame_loaded.get("@context") if isinstance(frame_loaded, dict) else None
+    if ctx is not None:
+        return compact(results, {"@context": ctx}, options, expanded_input=True)
+    return {"@graph": results}
+
+
 def to_rdf(
     document: Any,
     options: Optional[Options] = None,

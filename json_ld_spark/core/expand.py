@@ -155,8 +155,11 @@ def expand(
     if set(output.keys()) == {"@language"}:
         return None
 
-    # drop free-floating non-node content (expand.rb:211-217)
+    # drop free-floating non-node content (expand.rb:211-217);
+    # frame expansion keeps node references and empty patterns
     if active_property is None or active_property == "@graph":
+        if context.options.frame_expansion:
+            return output
         if not output or {"@value", "@list"} & set(output.keys()):
             return None
         if set(output.keys()) == {"@id"}:
@@ -220,6 +223,15 @@ def _expand_object(
                     output["@id"] = context.expand_iri(
                         value, document_relative=True
                     )
+                elif context.options.frame_expansion and isinstance(value, list):
+                    # frames may match a set of ids (expand.rb:300-320)
+                    output["@id"] = [
+                        context.expand_iri(v, document_relative=True)
+                        for v in value
+                        if isinstance(v, str)
+                    ]
+                elif context.options.frame_expansion and value == {}:
+                    output["@id"] = [{}]  # wildcard
                 else:
                     raise JsonLdError(err.INVALID_ID_VALUE, repr(value))
             elif expanded_property == "@included":

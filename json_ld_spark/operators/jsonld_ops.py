@@ -108,16 +108,24 @@ def entity_iri_by_id(eid: int) -> str:
     return _ENTITY_BY_ID[eid]
 
 
-def with_stable_turn_order(transcripts: DataFrame) -> DataFrame:
+def with_stable_turn_order(
+    transcripts: DataFrame, n_partitions: int | None = None
+) -> DataFrame:
     """Stable turn ordering + nextTurn linkage (the north rule's
     window): row_number + lead over (conv_id, turn_idx).
 
-    One shuffle on conv_id; the same partitioning then feeds the
-    emission UDF, so no second shuffle before write when the sink is
-    bucketed by conv_id.
+    The explicit repartition(n, conv_id) serves two purposes: the
+    window reuses it (one shuffle total), and — critically — AQE never
+    coalesces a user-specified repartition. Without it, AQE sizes the
+    post-window partitions by shuffle BYTES and collapses a small-but-
+    CPU-heavy stage to one task, serializing the Python emission UDF
+    (the per-row cost is Python CPU, invisible to byte-based sizing).
     """
+    if n_partitions is None:
+        sc = transcripts.sparkSession.sparkContext
+        n_partitions = sc.defaultParallelism * 2
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    return transcripts.select(
+    return transcripts.repartition(n_partitions, "conv_id").select(
         "*",
         F.row_number().over(w).alias("turn_rank"),
         F.lead("turn_idx").over(w).alias("next_turn_idx"),
@@ -145,27 +153,36 @@ def _triples_batch_iter(
         # vectorized mention counting: one pass per gazetteer surface
         # over the whole batch (never per-row regex compilation)
         texts = pdf["text"].fillna("")
-        counts = {
-            eid: texts.str.count(pattern)
-            for eid, _surface, pattern in surface_patterns
-        }
+        count_cols = [
+            (eid, surface, texts.str.count(pattern).tolist())
+            for eid, surface, pattern in surface_patterns
+        ]
+        # plain-list row access: Series.iloc in a row loop costs more
+        # than the JSON-LD algorithms themselves
+        conv_ids = pdf["conv_id"].tolist()
+        turn_idxs = pdf["turn_idx"].tolist()
+        roles = pdf["role"].tolist()
+        text_vals = pdf["text"].tolist()
+        tools = pdf["tool"].tolist()
+        ts_vals = ts_str.tolist()
+        next_idxs = pdf["next_turn_idx"].tolist()
         rows: list[tuple] = []
-        for i in range(len(pdf)):
-            conv_id = pdf["conv_id"].iloc[i]
-            turn_idx = int(pdf["turn_idx"].iloc[i])
+        for i in range(len(conv_ids)):
+            conv_id = conv_ids[i]
+            turn_idx = int(turn_idxs[i])
             mentions = [
-                (eid, surface, int(counts[eid].iloc[i]))
-                for eid, surface, _ in surface_patterns
-                if counts[eid].iloc[i] > 0
+                (eid, surface, int(cnts[i]))
+                for eid, surface, cnts in count_cols
+                if cnts[i] > 0
             ]
-            next_idx = pdf["next_turn_idx"].iloc[i]
+            next_idx = next_idxs[i]
             doc = build_turn_document(
                 conv_id,
                 turn_idx,
-                pdf["role"].iloc[i] if pd.notna(pdf["role"].iloc[i]) else None,
-                pdf["text"].iloc[i] if pd.notna(pdf["text"].iloc[i]) else None,
-                pdf["tool"].iloc[i] if pd.notna(pdf["tool"].iloc[i]) else None,
-                ts_str.iloc[i] if pd.notna(ts_str.iloc[i]) else None,
+                roles[i] if pd.notna(roles[i]) else None,
+                text_vals[i] if pd.notna(text_vals[i]) else None,
+                tools[i] if pd.notna(tools[i]) else None,
+                ts_vals[i] if pd.notna(ts_vals[i]) else None,
                 int(next_idx) if pd.notna(next_idx) else None,
                 mentions,
             )

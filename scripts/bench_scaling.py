@@ -1,9 +1,15 @@
 """Two-parallelism scaling evidence (BASELINE.json north_rule).
 
 The sandbox has no multi-executor cluster; per BASELINE.md the N→4N
-executor criterion is evidenced by running the identical job at
-local[8] and local[32] on the same input and reporting throughput at
-both plus efficiency = tp_32 / (4 × tp_8).
+executor criterion is evidenced by running the identical job at two
+parallelism levels on the same input and reporting throughput at both
+plus efficiency = tp_high / (4 × tp_low).
+
+Fairness: each measurement runs in its own process pinned with
+``taskset`` to exactly its CPU budget (cores 0-7 vs 0-31). Without
+pinning, a local[8] JVM on a 32-core box offloads GC/Arrow/shuffle
+threads onto the 24 idle cores — an unfairly fast "N-executor"
+baseline that a real 8-core executor would not get.
 
 Run: python scripts/bench_scaling.py [n_convs]
 Writes BENCH/BASELINE.md and prints one JSON line.
@@ -13,48 +19,28 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
 
 
-def run_at(cpus: int, n_convs: int) -> dict:
-    """Measure steady-state triple-emission throughput at local[cpus]
-    (one warmup pass amortizes Python-worker and JIT startup, then one
-    timed pass on the identical input)."""
-    from json_ld_spark.operators.jsonld_ops import emit_triples, valid_triples
-    from json_ld_spark.plans.session import build_session
-    from json_ld_spark.sources.transcripts import synthesize_transcripts
-
-    spark = build_session(
-        app_name=f"scaling-local{cpus}", cpus=cpus, shuffle_partitions=cpus
+def run_pinned(cpus: int, n_convs: int) -> dict:
+    cmd = [
+        "taskset", "-c", f"0-{cpus - 1}",
+        sys.executable, os.path.join(REPO, "scripts", "_scale_worker.py"),
+        str(cpus), str(n_convs),
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, check=True, cwd=REPO
     )
-    spark.sparkContext.setLogLevel("ERROR")
-    transcripts = synthesize_transcripts(spark, n_convs=n_convs).cache()
-    n_turns = transcripts.count()  # materialize input before timing
-
-    valid_triples(emit_triples(transcripts)).count()  # warmup
-    t0 = time.time()
-    n_triples = valid_triples(emit_triples(transcripts)).count()
-    wall = time.time() - t0
-
-    spark.stop()
-    return {
-        "cpus": cpus,
-        "turns": n_turns,
-        "triples": n_triples,
-        "wall_sec": round(wall, 3),
-        "triples_per_sec": round(n_triples / wall, 1),
-        "turns_per_sec": round(n_turns / wall, 1),
-    }
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-    low = run_at(8, n_convs)
-    high = run_at(32, n_convs)
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    low = run_pinned(8, n_convs)
+    high = run_pinned(32, n_convs)
     efficiency = round(
         high["triples_per_sec"] / (4 * low["triples_per_sec"]), 3
     )
@@ -69,13 +55,15 @@ def main() -> None:
 Same job (synthesized transcripts → stable-order window → mention
 detection + JSON-LD expand + toRDF → global dedup → count), same input
 ({low['turns']} turns from {n_convs} conversations, seed 42), measured
-after one warmup pass, at two local parallelism levels (sandbox
-stand-in for N vs 4N executors per BASELINE.md).
+after one warmup pass, at two parallelism levels (sandbox stand-in for
+N vs 4N executors per BASELINE.md). Each run is CPU-pinned with
+taskset to exactly its core budget so the low-parallelism baseline
+cannot borrow idle cores for JVM/Arrow/GC work.
 
-| parallelism | turns | triples | wall (s) | triples/sec | turns/sec |
-|---|---|---|---|---|---|
-| local[8]  | {low['turns']} | {low['triples']} | {low['wall_sec']} | {low['triples_per_sec']} | {low['turns_per_sec']} |
-| local[32] | {high['turns']} | {high['triples']} | {high['wall_sec']} | {high['triples_per_sec']} | {high['turns_per_sec']} |
+| parallelism | pinned cores | turns | triples | wall (s) | triples/sec | turns/sec |
+|---|---|---|---|---|---|---|
+| local[8]  | {low['affinity']} | {low['turns']} | {low['triples']} | {low['wall_sec']} | {low['triples_per_sec']} | {low['turns_per_sec']} |
+| local[32] | {high['affinity']} | {high['turns']} | {high['triples']} | {high['wall_sec']} | {high['triples_per_sec']} | {high['turns_per_sec']} |
 
 **Scaling efficiency (tp_32 / (4 × tp_8)) = {efficiency}**
 (BASELINE.json target ≥ 0.8).
