@@ -1,0 +1,72 @@
+"""Physical-plan assertions: the optimizations we designed for must
+actually appear in the executed plan (filter pushdown, broadcast
+joins, TakeOrderedAndProject for top-k, pinned partitioning for the
+emission stage)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_ld_spark.plans.session import explain_str
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parquet_filter_pushdown_and_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = explain_str(q)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: ReadSchema mentions only what we need
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_broadcast_join_for_dimension(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    q = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .count()
+    )
+    plan = explain_str(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    from json_ld_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = emb.limit(1).collect()[0]["embedding"]
+    plan = explain_str(brute_force_topk(emb, qvec, k=10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_emission_partitioning_is_pinned(spark):
+    """The repartition feeding the ordering window must survive into
+    the physical plan as a user-specified exchange (AQE must not be
+    free to coalesce the Python stage to one task)."""
+    from json_ld_spark.operators.jsonld_ops import with_stable_turn_order
+    from json_ld_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, n_convs=5)
+    plan = explain_str(with_stable_turn_order(t, n_partitions=16))
+    assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(conv_id" in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from json_ld_spark.operators.dedup import exact_dedup_groups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = explain_str(exact_dedup_groups(docs))
+    # exactly one exchange in the plan tree, with map-side combine
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
+    assert "partial_count" in plan and "partial_min" in plan
