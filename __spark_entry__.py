@@ -321,6 +321,14 @@ def q_top_suppliers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-formatting path (no oracle: JSON-LD document text is not
+    SQL-expressible): triples → compacted JSON-LD doc per conv."""
+    from json_ld_spark.operators.output_docs import triples_to_documents
+
+    return triples_to_documents(_triples(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline at sf0.001."""
     return _triples(spark, SF_SMALL).select(
@@ -345,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "kg_documents": q_kg_documents,
         "lineitem_agg": q_lineitem_agg,
         "revenue_by_nation": q_revenue_by_nation,
         "events_daily": q_events_daily,

@@ -1,0 +1,71 @@
+"""Output formatting: graph triples → JSON-LD documents
+(fromRDF → compact with the pipeline @context), distributed per
+conversation.
+
+Parity: Writer.write_epilogue (/root/reference/lib/json/ld/
+writer.rb:313-364) buffers statements and serializes via fromRdf +
+optional compaction; here the buffer is a DataFrame group and the
+serialization runs in applyInPandas per conv_id — compaction is a
+downstream view of the triple table (SURVEY §2.1 Writer row).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from json_ld_spark.sources.gazetteer import KG_CONTEXT
+
+
+def triples_to_documents(triples: DataFrame) -> DataFrame:
+    """(conv_id, doc_json): one compacted JSON-LD document per
+    conversation, reassembled from its triples.
+
+    groupBy(conv_id).applyInPandas — each group is one conversation's
+    triples (bounded by conversation size; the same salting story as
+    the forward path applies for pathological conversations)."""
+
+    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        from json_ld_spark.core import api as core_api
+        from json_ld_spark.core.rdf import Term, Triple
+
+        conv_id = pdf["conv_id"].iloc[0]
+        trs = []
+        for subj, pred, obj_value, obj_is_iri, obj_dt, obj_lang in zip(
+            pdf["subj"], pdf["pred"], pdf["obj_value"], pdf["obj_is_iri"],
+            pdf["obj_datatype"], pdf["obj_language"],
+        ):
+            s = (
+                Term("bnode", subj[2:])
+                if subj.startswith("_:")
+                else Term("iri", subj)
+            )
+            p = Term("iri", pred)
+            if obj_is_iri:
+                o = (
+                    Term("bnode", obj_value[2:])
+                    if obj_value.startswith("_:")
+                    else Term("iri", obj_value)
+                )
+            else:
+                o = Term(
+                    "literal", obj_value,
+                    obj_dt if pd.notna(obj_dt) else None,
+                    obj_lang if pd.notna(obj_lang) else None,
+                )
+            trs.append(Triple(s, p, o, None))
+        expanded = core_api.from_rdf(trs, use_native_types=True)
+        compacted = core_api.compact(
+            expanded, {"@context": KG_CONTEXT}, expanded_input=True
+        )
+        return pd.DataFrame(
+            {"conv_id": [conv_id], "doc_json": [json.dumps(compacted, sort_keys=True)]}
+        )
+
+    valid = triples.filter(triples["error_code"].isNull()) if "error_code" in triples.columns else triples
+    return valid.groupBy("conv_id").applyInPandas(
+        _assemble, schema="conv_id string, doc_json string"
+    )
