@@ -65,29 +65,46 @@ def minhash_dedup_components(
 
 
 def simhash64(text_col, shingle: int = 4):
-    """64-bit SimHash over character shingles, as a JVM expression:
-    per-bit majority vote of shingle hashes, folded into a bigint."""
+    """64-bit SimHash over character shingles, as ONE JVM aggregate:
+    the accumulator is an array of 64 vote counters updated per
+    shingle hash (a single expression tree — 64 separate aggregates
+    made codegen explode and cost seconds of compile per query)."""
     lowered = F.lower(text_col)
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(lowered) - (shingle - 1), F.lit(1))),
         lambda i: F.substring(lowered, 1, 2147483647).substr(i, F.lit(shingle)),
     )
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-
-    def _vote(bit: int):
-        # two-arg closure: Spark's higher-order lambdas dispatch on the
-        # Python arity, so default-arg binding would add a phantom param.
-        # bit 63 is the two's-complement sign bit (1<<63 overflows long).
-        mask = (1 << bit) if bit < 63 else -(1 << 63)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, 1
-        ).otherwise(-1)
-
-    bit_votes = [F.aggregate(hashes, F.lit(0), _vote(b)) for b in range(64)]
-    result = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
-        result = result + F.when(vote > 0, F.lit(1 << b if b < 63 else -(1 << 63))).otherwise(0).cast("long")
-    return result
+    # per-bit masks as a literal array (bit 63 = the sign bit as a
+    # signed long); shift functions require literal bit counts, masks
+    # don't
+    masks = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(64)
+        ]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.transform(masks, lambda m: F.lit(0)),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    # fold positive-vote bits into a bigint: sum of masks where the
+    # vote is positive (the sign-bit mask contributes negatively,
+    # which IS its two's-complement value)
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_neardup_pairs(
