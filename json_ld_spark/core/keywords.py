@@ -8,6 +8,7 @@ list/graph predicates).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Any
 
 KEYWORDS = frozenset(
@@ -83,14 +84,22 @@ def has_keyword_form(value: Any) -> bool:
     return isinstance(value, str) and bool(_KEYWORD_FORM.match(value))
 
 
+_ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+@lru_cache(maxsize=4096)
+def _is_absolute_iri_str(value: str) -> bool:
+    return bool(_ABS_IRI_RE.match(value))
+
+
 def is_absolute_iri(value: Any) -> bool:
     """True for strings with a scheme (RFC 3986 'absolute-ish' IRIs).
 
-    Parity: RDF::URI#absolute? usage throughout context.rb.
+    Parity: RDF::URI#absolute? usage throughout context.rb. Cached —
+    the same predicate/vocabulary IRIs recur for every document, and
+    this is the hottest call in the emission profile.
     """
-    return isinstance(value, str) and bool(
-        re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", value)
-    )
+    return isinstance(value, str) and _is_absolute_iri_str(value)
 
 
 def is_blank_node_id(value: Any) -> bool:
