@@ -64,12 +64,15 @@ def minhash_candidate_pairs(
     cap is a skew guard, logged by callers that need exactness).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # stage the shingle array in its own projection: higher-order
+    # functions are interpreted (no codegen CSE), so inlining the
+    # shingle expression into all `num_hashes` array_min(transform(...))
+    # trees recomputes it num_hashes× per row (measured 20× slowdown)
+    sh = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(char_shingles(F.col(text_col), shingle), num_hashes).alias(
-            "_sig"
-        ),
+        char_shingles(F.col(text_col), shingle).alias("_sh"),
     )
+    sig = sh.select("_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
     banded = sig.select(
         "_id",
         F.posexplode(
@@ -147,8 +150,11 @@ def connected_components(
         .filter(F.col("s") != F.col("d"))
         .dropDuplicates()
     )
-    # undirected → both directions
+    # undirected → both directions; checkpoint so the (possibly very
+    # expensive) upstream edge pipeline is evaluated exactly once, not
+    # re-derived by every iteration's neighbor join
     e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).dropDuplicates()
+    e = e.localCheckpoint()
     # initial label: min neighbor (including self)
     labels = (
         e.groupBy("s")

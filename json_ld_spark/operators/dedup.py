@@ -164,10 +164,13 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     )
-    g = docs.select(
-        F.col(id_col).alias("_id"),
-        grams.alias("_grams"),
-        F.array_min(F.transform(grams, lambda s: F.md5(s))).alias("_blk"),
+    # two-stage projection: the `grams` tree (split → transform →
+    # array_distinct) is expensive and interpreted; aliasing it once and
+    # deriving `_blk` from the alias avoids evaluating it twice per row
+    g = docs.select(F.col(id_col).alias("_id"), grams.alias("_grams")).select(
+        "_id",
+        "_grams",
+        F.array_min(F.transform("_grams", lambda s: F.md5(s))).alias("_blk"),
     )
     a, b = g.alias("a"), g.alias("b")
     return (
