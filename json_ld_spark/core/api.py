@@ -151,6 +151,26 @@ def expanded_to_rdf(
     )
 
 
+def expanded_to_rdf_stream(
+    expanded: list,
+    namer: Optional[BlankNodeNamer] = None,
+    produce_generalized_rdf: bool = False,
+    rdf_direction: Optional[str] = None,
+) -> list[Triple]:
+    """Single-pass expanded document → triples (no node map).
+
+    The Spark UDF hot path; parity with the reference's streaming
+    reader (streaming_reader.rb:29-54): same graph as
+    ``expanded_to_rdf`` up to triple order, duplicate assertions, and
+    bnode-label interleaving (always isomorphic)."""
+    namer = namer or BlankNodeNamer()
+    return to_rdf_mod.stream_expanded_to_rdf(
+        expanded, namer,
+        produce_generalized_rdf=produce_generalized_rdf,
+        rdf_direction=rdf_direction,
+    )
+
+
 def frame(document: Any, frame_doc: Any, options: Optional[Options] = None,
           **kwargs) -> dict:
     """Frame a document. Parity: API.frame, api.rb:383-510."""

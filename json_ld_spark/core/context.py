@@ -36,6 +36,8 @@ from json_ld_spark.core.keywords import (
     is_keyword,
 )
 
+_MISS = object()  # expand_iri memo sentinel
+
 CONTAINER_VALUES = frozenset(
     {"@list", "@set", "@index", "@language", "@id", "@type", "@graph"}
 )
@@ -146,6 +148,10 @@ class Context:
         self.default_direction: Optional[str] = None
         self.previous_context: Optional["Context"] = None
         self._inverse: Optional[dict] = None
+        # memo for the pure expand_iri case (no local_context): the
+        # active context is immutable once parsed, so (value, flags) →
+        # IRI is deterministic. Bounded: cleared at 8192 entries.
+        self._iri_cache: dict = {}
 
     # -- lifecycle ----------------------------------------------------
 
@@ -363,6 +369,7 @@ class Context:
             return  # keyword-shaped terms are ignored
 
         previous = self.terms.pop(term, None)
+        self._iri_cache.clear()
 
         simple_term = isinstance(value, str) or value is None
         if value is None:
@@ -421,6 +428,7 @@ class Context:
             self.terms[term] = definition
             defined[term] = True
             self._inverse = None
+            self._iri_cache.clear()
             return
 
         if "@id" in value and value["@id"] != term:
@@ -582,6 +590,7 @@ class Context:
         self.terms[term] = definition
         defined[term] = True
         self._inverse = None
+        self._iri_cache.clear()
 
     def _check_container(self, conts: frozenset) -> None:
         """Parity: check_container, context.rb:2036-2098."""
@@ -622,6 +631,28 @@ class Context:
         """Parity: context.rb:1299-1382."""
         if not isinstance(value, str) or is_keyword(value):
             return value
+        if local_context is None:
+            key = (value, document_relative, vocab)
+            hit = self._iri_cache.get(key, _MISS)
+            if hit is not _MISS:
+                return hit
+            result = self._expand_iri_uncached(value, document_relative, vocab)
+            if len(self._iri_cache) >= 8192:
+                self._iri_cache.clear()
+            self._iri_cache[key] = result
+            return result
+        return self._expand_iri_uncached(
+            value, document_relative, vocab, local_context, defined
+        )
+
+    def _expand_iri_uncached(
+        self,
+        value: str,
+        document_relative: bool = False,
+        vocab: bool = False,
+        local_context: Optional[dict] = None,
+        defined: Optional[dict] = None,
+    ) -> Any:
         if has_keyword_form(value):
             return None  # looks-like-keyword: ignored
         if local_context is not None and value in local_context and defined is not None:

@@ -155,6 +155,162 @@ def _object_term(
     return None
 
 
+def stream_expanded_to_rdf(
+    expanded: list,
+    namer: BlankNodeNamer,
+    produce_generalized_rdf: bool = False,
+    rdf_direction: Optional[str] = None,
+) -> list[Triple]:
+    """Single-pass expanded document → triples, skipping rename_bnodes
+    and create_node_map entirely.
+
+    Parity: the reference's own streaming reader
+    (streaming_reader.rb:29-54, 74-423) emits statements in one pass
+    without flattening — proof the node map is not required for
+    emission. Semantics equal the node-map path up to (a) triple order,
+    (b) duplicate assertions when one @id node appears twice in the
+    tree (the node map dedups eagerly; the stream — like the streaming
+    reader — relies on RDF set semantics downstream), and (c) bnode
+    label interleaving (anonymous nodes are named in visit order, not
+    after all labeled ones) — graphs are always isomorphic.
+
+    This is the Spark UDF hot path: one traversal instead of three
+    (~30% of per-document CPU at the measured profile).
+    """
+    out: list[Triple] = []
+    for element in expanded:
+        if isinstance(element, dict):
+            _stream_node(element, None, namer, produce_generalized_rdf,
+                         rdf_direction, out)
+    return out
+
+
+def _stream_subject(element: dict, namer: BlankNodeNamer) -> Term:
+    sid = element.get("@id")
+    if sid is None:
+        return as_term(namer.get_name())
+    if isinstance(sid, str) and is_blank_node_id(sid):
+        return as_term(namer.get_name(sid))
+    return as_term(sid)  # relative IRIs filtered at emit time
+
+
+def _stream_node(
+    element: dict,
+    graph_term: Optional[Term],
+    namer: BlankNodeNamer,
+    generalized: bool,
+    rdf_direction: Optional[str],
+    out: list,
+) -> Term:
+    """Emit one expanded node object's triples; return its subject term.
+
+    Mirrors item_to_rdf (to_rdf.rb:19-156) but recurses into nested
+    node objects (expanded trees are not flattened here)."""
+    subject = _stream_subject(element, namer)
+    s_ok = _valid_subject(subject)
+    for prop, values in element.items():
+        if prop == "@type":
+            if s_ok:
+                p = iri(RDF_TYPE)
+                for t in values if isinstance(values, list) else [values]:
+                    o = as_term(namer.get_name(t) if is_blank_node_id(t) else t)
+                    if _valid_object(o):
+                        out.append(Triple(subject, p, o, graph_term))
+            continue
+        if prop == "@graph":
+            # nested graph: contents named by this node's subject
+            # (to_rdf.rb:104-108); relative graph names drop contents
+            # (node_map_to_rdf parity)
+            if subject.kind == "bnode" or (
+                subject.kind == "iri" and is_absolute_iri(subject.value)
+            ):
+                for item in values:
+                    if isinstance(item, dict):
+                        _stream_node(item, subject, namer, generalized,
+                                     rdf_direction, out)
+            continue
+        if prop == "@included":
+            for item in values:
+                if isinstance(item, dict):
+                    _stream_node(item, graph_term, namer, generalized,
+                                 rdf_direction, out)
+            continue
+        if prop == "@reverse":
+            for rprop, rvalues in values.items():
+                p = as_term(rprop)
+                p_ok = _valid_predicate(p, generalized)
+                for rv in rvalues:
+                    if not isinstance(rv, dict) or is_value_object(rv):
+                        continue  # expansion guarantees node objects here
+                    child = _stream_node(rv, graph_term, namer, generalized,
+                                         rdf_direction, out)
+                    if p_ok and s_ok and _valid_subject(child):
+                        out.append(Triple(child, p, subject, graph_term))
+            continue
+        if prop.startswith("@"):
+            continue  # @id/@index/@annotation handled or skipped
+        p = as_term(prop)
+        if not _valid_predicate(p, generalized):
+            # still recurse: nested nodes own their triples regardless
+            for value in values if isinstance(values, list) else [values]:
+                if isinstance(value, dict) and not is_value_object(value) \
+                        and not is_list_object(value):
+                    _stream_node(value, graph_term, namer, generalized,
+                                 rdf_direction, out)
+            continue
+        for value in values if isinstance(values, list) else [values]:
+            o = _stream_object(value, graph_term, namer, generalized,
+                               rdf_direction, out)
+            if o is not None and s_ok and _valid_object(o):
+                out.append(Triple(subject, p, o, graph_term))
+    return subject
+
+
+def _stream_object(
+    value: Any,
+    graph_term: Optional[Term],
+    namer: BlankNodeNamer,
+    generalized: bool,
+    rdf_direction: Optional[str],
+    out: list,
+) -> Optional[Term]:
+    if is_value_object(value):
+        return object_to_rdf_literal(
+            value["@value"], value.get("@type"), value.get("@language"),
+            value.get("@direction"), rdf_direction,
+        )
+    if is_list_object(value):
+        return _stream_list(value["@list"], graph_term, namer, generalized,
+                            rdf_direction, out)
+    if isinstance(value, dict):
+        return _stream_node(value, graph_term, namer, generalized,
+                            rdf_direction, out)
+    return None
+
+
+def _stream_list(
+    items: list,
+    graph_term: Optional[Term],
+    namer: BlankNodeNamer,
+    generalized: bool,
+    rdf_direction: Optional[str],
+    out: list,
+) -> Term:
+    """rdf:first/rdf:rest chain (to_rdf.rb:167-187), streaming items."""
+    if not items:
+        return iri(RDF_NIL)
+    nodes = [bnode(namer.get_name()[2:]) for _ in items]
+    first_iri, rest_iri = iri(RDF_FIRST), iri(RDF_REST)
+    for i, item in enumerate(items):
+        o = _stream_object(item, graph_term, namer, generalized,
+                           rdf_direction, out)
+        first: Term = o if o is not None and _valid_object(o) else iri(RDF_NIL)
+        out.append(Triple(nodes[i], first_iri, first, graph_term))
+        rest: Term = nodes[i + 1] if i + 1 < len(nodes) else iri(RDF_NIL)
+        out.append(Triple(nodes[i], rest_iri, rest, graph_term))
+    return nodes[0]
+
+
 def _parse_list(
     items: list,
     namer: BlankNodeNamer,

