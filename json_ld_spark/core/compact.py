@@ -22,11 +22,21 @@ from json_ld_spark.core.context import Context
 from json_ld_spark.core.errors import JsonLdError
 from json_ld_spark.core.keywords import (
     add_value,
+    is_graph_object,
     is_keyword,
     is_list_object,
     is_node_object,
     is_value_object,
 )
+
+
+def _as_array_term(context: Context, term: Optional[str]) -> bool:
+    """Parity: Context#as_array?, context.rb:1182-1187: @set/@list/@graph
+    keywords, or a term with @set/@list container."""
+    if term in ("@set", "@list", "@graph"):
+        return True
+    td = context.terms.get(term) if term else None
+    return td is not None and bool(td.container & {"@set", "@list"})
 
 
 def compact(
@@ -37,7 +47,11 @@ def compact(
     compact_arrays: bool = True,
 ) -> Any:
     """Parity: compact.rb:21-353 (same branch structure, condensed)."""
-    td = context.terms.get(active_property) if active_property else None
+    # original (possibly type-scoped) context at entry: term-def lookup
+    # for the active property and @type compaction use THIS, even after
+    # reversion / property-scoped re-parse (compact.rb:28,60,122)
+    input_context = context
+    td = input_context.terms.get(active_property) if active_property else None
 
     if isinstance(element, list):
         result = [
@@ -49,7 +63,7 @@ def compact(
         if (
             len(result) == 1
             and compact_arrays
-            and (td is None or not td.container & {"@list", "@set", "@graph"})
+            and not _as_array_term(context, active_property)
         ):
             return result[0]
         return result
@@ -92,7 +106,7 @@ def compact(
             context.compact_iri(t, vocab=True) for t in types
         )
         for ct in compacted_types:
-            ctd = context.terms.get(ct)
+            ctd = input_context.terms.get(ct)
             if ctd is not None and ctd.has_context:
                 context = context.parse(
                     ctd.context, base_url=ctd.base_url, propagate=False
@@ -113,13 +127,16 @@ def compact(
                 if isinstance(expanded_value, list)
                 else [expanded_value]
             )
-            compacted = [context.compact_iri(t, vocab=True) for t in types]
+            # compacted against the INPUT context (compact.rb:122-124:
+            # type-scoped terms must not affect @type values)
+            compacted = [input_context.compact_iri(t, vocab=True) for t in types]
             alias = context.compact_iri("@type", vocab=True)
-            result[alias] = (
-                compacted[0]
-                if len(compacted) == 1 and compact_arrays
-                else compacted
+            as_arr = len(compacted) > 1 or (
+                context.processing_mode != "json-ld-1.0"
+                and _as_array_term(context, alias)
+                and "@value" not in element
             )
+            add_value(result, alias, compacted, property_is_array=as_arr)
             continue
         if expanded_property == "@reverse":
             rev = compact(expanded_value, "@reverse", context, ordered, compact_arrays)
@@ -207,49 +224,90 @@ def compact(
                 or not compact_arrays
             )
 
-            inner = expanded_item
+            # value to compact: list contents, graph contents, or item
+            # (compact.rb:214-226)
             if is_list_object(expanded_item):
-                inner = expanded_item["@list"]
-            elif isinstance(expanded_item, dict) and "@graph" in expanded_item and set(
-                expanded_item
-            ) <= {"@graph", "@id", "@index"}:
-                pass
+                to_compact: Any = expanded_item["@list"]
+            elif is_graph_object(expanded_item):
+                to_compact = expanded_item["@graph"]
+            else:
+                to_compact = expanded_item
 
             compacted_item = compact(
-                expanded_item["@list"]
-                if is_list_object(expanded_item)
-                else (
-                    expanded_item["@graph"]
-                    if isinstance(expanded_item, dict)
-                    and set(expanded_item) <= {"@graph", "@id", "@index"}
-                    and "@graph" in expanded_item
-                    and "@graph" in container
-                    else expanded_item
-                ),
-                item_active_property,
-                context,
-                ordered,
+                to_compact, item_active_property, context, ordered,
                 compact_arrays,
             )
 
             if is_list_object(expanded_item):
                 if not isinstance(compacted_item, list):
                     compacted_item = [compacted_item]
-                if "@list" not in container:
-                    wrapper = {
-                        context.compact_iri("@list", vocab=True): compacted_item
-                    }
-                    if "@index" in expanded_item:
-                        wrapper[
-                            context.compact_iri("@index", vocab=True)
-                        ] = expanded_item["@index"]
-                    compacted_item = wrapper
+                if "@list" in container:
+                    # compact.rb:232-234: assign (value_is_array)
+                    target[item_active_property] = compacted_item
+                    continue
+                wrapper = {
+                    context.compact_iri("@list", vocab=True): compacted_item
+                }
+                if "@index" in expanded_item:
+                    wrapper[
+                        context.compact_iri("@index", vocab=True)
+                    ] = expanded_item["@index"]
+                compacted_item = wrapper
+                add_value(
+                    target, item_active_property, compacted_item,
+                    property_is_array=as_array,
+                )
+                continue
+
+            # graph object compaction, three-way (compact.rb:246-286)
+            if is_graph_object(expanded_item):
+                simple = "@id" not in expanded_item
+                if "@graph" in container and (
+                    "@id" in container or ("@index" in container and simple)
+                ):
+                    # graph-as-map keyed by @id / @index / @none
+                    map_object = target.setdefault(item_active_property, {})
+                    if "@id" in container and "@id" in expanded_item:
+                        map_key = context.compact_iri(expanded_item["@id"])
+                    elif "@index" in container and "@index" in expanded_item:
+                        map_key = context.compact_iri(
+                            expanded_item["@index"], vocab=True
+                        )
+                    else:
+                        map_key = context.compact_iri("@none", vocab=True)
+                    add_value(
+                        map_object, map_key, compacted_item,
+                        property_is_array=as_array,
+                    )
+                elif "@graph" in container and simple:
+                    # multiple nodes in one simple graph need @included
+                    # (compact.rb:263-268)
+                    if isinstance(compacted_item, list) and len(compacted_item) > 1:
+                        compacted_item = {
+                            context.compact_iri("@included", vocab=True):
+                                compacted_item
+                        }
                     add_value(
                         target, item_active_property, compacted_item,
                         property_is_array=as_array,
                     )
                 else:
-                    target[item_active_property] = compacted_item
+                    # re-wrap with explicit @graph (+@id/@index) aliases
+                    compacted_item = {
+                        context.compact_iri("@graph", vocab=True): compacted_item
+                    }
+                    if "@id" in expanded_item:
+                        compacted_item[
+                            context.compact_iri("@id", vocab=True)
+                        ] = context.compact_iri(expanded_item["@id"])
+                    if "@index" in expanded_item:
+                        compacted_item[
+                            context.compact_iri("@index", vocab=True)
+                        ] = expanded_item["@index"]
+                    add_value(
+                        target, item_active_property, compacted_item,
+                        property_is_array=as_array,
+                    )
                 continue
 
             if container & {"@language", "@index", "@id", "@type"} and "@graph" not in container:

@@ -460,11 +460,16 @@ class Context:
                     )
                     if check != definition.iri:
                         raise JsonLdError(err.INVALID_IRI_MAPPING, term)
-                if simple_term and (
-                    definition.iri.endswith(
-                        ("/", "#", ":", "?", "&", ";", ",", "=", "@", "+", "*")
+                # gen-delims only (context.rb:693-696): : / ? # [ ] @
+                if (
+                    simple_term
+                    and ":" not in term
+                    and (
+                        definition.iri.endswith(
+                            (":", "/", "?", "#", "[", "]", "@")
+                        )
+                        or definition.iri.startswith("_:")
                     )
-                    or definition.iri.startswith("_:")
                 ):
                     definition.prefix = True
         elif ":" in term[1:]:
@@ -736,22 +741,29 @@ class Context:
             if td.reverse:
                 type_lang_map["@type"].setdefault("@reverse", term)
             elif td.type_mapping == "@none":
-                type_lang_map["@any"].setdefault("@none", term)
                 type_lang_map["@language"].setdefault("@any", term)
                 type_lang_map["@type"].setdefault("@any", term)
+                type_lang_map["@any"].setdefault("@any", term)
             elif td.type_mapping is not None:
                 type_lang_map["@type"].setdefault(td.type_mapping, term)
-            elif td.language != "unset" or td.direction != "unset":
-                lang = td.language if td.language != "unset" else None
-                direction = td.direction if td.direction != "unset" else None
-                if lang is not None and direction is not None:
-                    lang_dir = f"{lang}_{direction}".lower()
-                elif lang is not None:
-                    lang_dir = lang.lower()
-                elif direction is not None:
-                    lang_dir = "_" + direction
+            elif td.language != "unset" and td.direction != "unset":
+                # both present; None means explicit null (context.rb:1903-1913)
+                if td.language and td.direction:
+                    lang_dir = f"{td.language}_{td.direction}".lower()
+                elif td.language:
+                    lang_dir = td.language.lower()
+                elif td.direction:
+                    lang_dir = "_" + td.direction
                 else:
                     lang_dir = "@null"
+                type_lang_map["@language"].setdefault(lang_dir, term)
+            elif td.language != "unset":
+                lang_dir = (td.language or "@null").lower()
+                type_lang_map["@language"].setdefault(lang_dir, term)
+            elif td.direction != "unset":
+                # explicit-null direction indexes under @none
+                # (context.rb:1919-1920)
+                lang_dir = f"_{td.direction}" if td.direction else "@none"
                 type_lang_map["@language"].setdefault(lang_dir, term)
             else:
                 lang_dir = default_lang
@@ -796,6 +808,15 @@ class Context:
         ordering as the spec's IRI Compaction algorithm)."""
         if iri is None:
             return None
+        is_value = is_value_obj = isinstance(value, dict) and "@value" in value
+        is_list = isinstance(value, dict) and "@list" in value
+        is_graph = (
+            isinstance(value, dict)
+            and "@graph" in value
+            and set(value) <= {"@graph", "@id", "@index", "@context"}
+        )
+        has_index = isinstance(value, dict) and "@index" in value
+
         if vocab and iri in self.inverse_context():
             default_lang = (
                 f"{self.default_language}_{self.default_direction}".lower()
@@ -804,14 +825,15 @@ class Context:
             )
             containers: list[str] = []
             type_language = "@language"
-            preferred: list[str] = []
-            if isinstance(value, dict) and "@index" in value and "@graph" not in value:
+            tl_value: Optional[str] = None
+            # (context.rb:1444-1507)
+            if has_index and not is_graph:
                 containers += ["@index", "@index@set"]
             if reverse:
                 type_language = "@type"
-                preferred.append("@reverse")
+                tl_value = "@reverse"
                 containers.append("@set")
-            elif isinstance(value, dict) and "@list" in value:
+            elif is_list:
                 if "@index" not in value:
                     containers.append("@list")
                 lst = value["@list"]
@@ -852,82 +874,101 @@ class Context:
                 common_type = common_type or "@none"
                 if common_type != "@none":
                     type_language = "@type"
-                    preferred.append(common_type)
+                    tl_value = common_type
                 else:
-                    preferred.append(common_language)
-            elif isinstance(value, dict) and "@graph" in value and set(value) <= {
-                "@graph",
-                "@id",
-                "@index",
-            }:
-                if "@index" in value:
+                    tl_value = common_language
+            elif is_graph:
+                # (context.rb:1466-1484)
+                if has_index:
                     containers += ["@graph@index", "@graph@index@set"]
                 if "@id" in value:
                     containers += ["@graph@id", "@graph@id@set"]
                 containers += ["@graph", "@graph@set", "@set"]
-                if "@index" not in value:
+                if not has_index:
                     containers += ["@graph@index", "@graph@index@set"]
                 if "@id" not in value:
                     containers += ["@graph@id", "@graph@id@set"]
                 containers += ["@index", "@index@set"]
-                preferred.append("@none")
+                containers.append("@set")
+                type_language = "@type"
+                tl_value = "@id"
             else:
-                if isinstance(value, dict) and "@value" in value:
-                    if "@direction" in value and "@index" not in value:
-                        lang_dir = (
-                            f"{value.get('@language','')}_{value['@direction']}".lower()
-                        )
-                        preferred.append(lang_dir)
-                        containers.append("@language")
-                    elif "@language" in value and "@index" not in value:
-                        preferred.append(value["@language"].lower())
-                        containers.append("@language")
+                if is_value_obj:
+                    if "@language" in value and not has_index:
+                        tl_value = value["@language"].lower()
+                        if "@direction" in value:
+                            tl_value += f"_{value['@direction']}".lower()
+                        containers += ["@language", "@language@set"]
+                    elif "@direction" in value and not has_index:
+                        tl_value = f"_{value['@direction']}"
                     elif "@type" in value:
                         type_language = "@type"
-                        preferred.append(value["@type"])
-                    else:
-                        if "@index" not in value and len(value) == 1:
-                            preferred.append("@null")
+                        tl_value = value["@type"]
                 else:
                     type_language = "@type"
-                    preferred.append("@id")
-                    containers.append("@id")
-                    containers.append("@type")
+                    tl_value = "@id"
+                    containers += ["@id", "@id@set", "@type", "@set@type"]
                 containers.append("@set")
             containers.append("@none")
-            if self.processing_mode != "json-ld-1.0" and (
-                not isinstance(value, dict) or "@index" not in value
-            ):
+            # 1.1: index maps can index values via @none (low priority)
+            if self.processing_mode != "json-ld-1.0" and not has_index:
                 containers += ["@index", "@index@set"]
-            if self.processing_mode != "json-ld-1.0" and (
-                isinstance(value, dict) and set(value) == {"@value"}
+            # values without type/language can use @language maps
+            if (
+                self.processing_mode != "json-ld-1.0"
+                and isinstance(value, dict)
+                and set(value) == {"@value"}
             ):
                 containers += ["@language", "@language@set"]
-            preferred.append("@none")
-            if not isinstance(value, dict):
-                preferred = ["@null" if default_lang == "@none" else default_lang, "@none"]
+            # preferred values (context.rb:1514-1533)
+            if tl_value is None:
+                tl_value = "@null"
+            preferred: list[str] = []
+            if tl_value == "@reverse":
+                preferred.append("@reverse")
+            if (
+                tl_value in ("@id", "@reverse")
+                and isinstance(value, dict)
+                and "@id" in value
+            ):
+                t_iri = self.compact_iri(value["@id"], vocab=True)
+                r_td = self.terms.get(t_iri)
+                if r_td is not None and r_td.iri == value["@id"]:
+                    preferred += ["@vocab", "@id", "@none"]
+                else:
+                    preferred += ["@id", "@vocab", "@none"]
+            else:
+                if is_list and value["@list"] == []:
+                    type_language = "@any"
+                preferred += [tl_value, "@none"]
+            preferred.append("@any")
+            lang_dir = next((v for v in preferred if "_" in v), None)
+            if lang_dir:
+                preferred.append("_" + lang_dir.split("_")[-1])
             term = self.select_term(iri, containers, type_language, preferred)
             if term is not None:
                 return term
 
-        if vocab and self.vocab is not None and iri.startswith(self.vocab):
+        if (
+            vocab
+            and self.vocab is not None
+            and iri.startswith(self.vocab)
+            and len(iri) > len(self.vocab)
+        ):
             suffix = iri[len(self.vocab) :]
-            if suffix and suffix not in self.terms:
+            if suffix not in self.terms:
                 return suffix
 
-        # CURIE candidates: shortest wins (candidates.min)
+        # CURIE candidates: shortest wins (context.rb:1548-1558);
+        # a candidate naming an existing term is only allowed when no
+        # value is being compacted (candidates.min parity)
         candidates = []
         for term, td in self.terms.items():
             if td is None or not td.iri or not td.prefix:
                 continue
             if iri.startswith(td.iri) and iri != td.iri:
                 curie = term + ":" + iri[len(td.iri) :]
-                existing = self.terms.get(curie)
-                if existing is None or (
-                    existing.iri == iri and curie in getattr(self, "_noop", ())
-                ):
-                    candidates.append(curie)
-                elif existing.iri == iri:
+                if not (value is not None and curie in self.terms):
                     candidates.append(curie)
         if candidates:
             return min(candidates, key=lambda c: (len(c), c))
@@ -943,6 +984,10 @@ class Context:
     def compact_value(self, active_property: Optional[str], value: dict) -> Any:
         """Parity: context.rb:1660-1718."""
         td = self.terms.get(active_property) if active_property else None
+        coerce = td.type_mapping if td is not None else None
+        container = td.container if td is not None else frozenset()
+        has_index = "@index" in value
+        indexing = has_index and "@index" in container
         language = (
             td.language
             if td is not None and td.language != "unset"
@@ -954,38 +999,25 @@ class Context:
             else self.default_direction
         )
         if "@id" in value and set(value) <= {"@id", "@index"}:
-            if td is not None and td.type_mapping == "@id" and set(value) == {"@id"}:
+            if coerce == "@id":
                 return self.compact_iri(value["@id"])
-            if td is not None and td.type_mapping == "@vocab" and set(value) == {"@id"}:
+            if coerce == "@vocab":
                 return self.compact_iri(value["@id"], vocab=True)
             return value
-        if "@value" not in value:
+        if "@id" in value:
             return value
-        raw = value["@value"]
-        if td is not None and td.type_mapping == "@none" and len(value) > 1:
+        raw = value.get("@value")
+        if value.get("@type") is not None and value["@type"] == coerce:
+            return raw  # common datatype compacts to the raw value
+        if coerce == "@none" or value.get("@type") is not None:
             return value
-        if value.get("@type") is not None:
-            if td is not None and td.type_mapping == value["@type"] and "@index" not in value:
-                return raw
-            return value
-        if "@language" in value:
-            if (
-                language is not None
-                and value["@language"].lower() == str(language).lower()
-                and value.get("@direction") == direction
-            ):
-                return raw
-            return value
-        if isinstance(raw, str):
-            if language is None and direction is None and len(value) == 1:
-                return raw
-            if len(value) == 1 and language is None and direction is None:
-                return raw
-            return value if (language is not None or direction is not None) else (
-                raw if len(value) == 1 else value
-            )
-        if len(value) == 1:
-            return raw
+        if not isinstance(raw, str):
+            # native JSON values compact when indexing or no @index
+            return raw if (indexing or not has_index) else value
+        vlang = (value.get("@language") or "").lower()
+        plang = (str(language) if language is not None else "").lower()
+        if vlang == plang and value.get("@direction") == direction:
+            return raw if (indexing or not has_index) else value
         return value
 
 

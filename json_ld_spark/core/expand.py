@@ -326,11 +326,15 @@ def _expand_object(
                 "@omitDefault",
                 "@preserve",
                 "@requireAll",
-                "@annotation",
             ):
                 # framing keywords pass through only in frame expansion
-                ev = expand(value, expanded_property, context, ordered, base_url)
-                output[expanded_property] = ev
+                # (expand.rb:605-606: `next unless framing`)
+                if context.options.frame_expansion:
+                    ev = expand(value, expanded_property, context, ordered, base_url)
+                    output[expanded_property] = ev
+            elif expanded_property == "@annotation":
+                # dropped without rdfstar support (expand.rb:617-619)
+                pass
             # unknown keyword-form keys already filtered
             continue
 
@@ -338,16 +342,12 @@ def _expand_object(
         td = context.terms.get(key)
         container = td.container if td is not None else frozenset()
 
-        if value is None and not (td is not None and "@list" in container):
-            # null values are dropped (unless list container? no — all)
-            if isinstance(value, dict):
-                pass
-            # fallthrough: skip
-            if value is None:
-                continue
-
+        # @json coercion comes BEFORE the null drop: {"e": null} with
+        # @type:@json is the JSON literal null (expand.rb:639-641)
         if td is not None and td.type_mapping == "@json":
             expanded_value: Any = {"@value": value, "@type": "@json"}
+        elif value is None and not (td is not None and "@list" in container):
+            continue  # null values are dropped
         elif "@language" in container and isinstance(value, dict):
             # language map (expand.rb:642-672)
             expanded_value = []
@@ -379,17 +379,29 @@ def _expand_object(
             # index/id/type maps (expand.rb:673-753)
             expanded_value = []
             index_key = td.index or "@index"
+            # container context (expand.rb:681-693): @type maps revert
+            # type-scoped terms; @id maps apply the term's scoped
+            # context (its @base resolves the map keys)
+            if "@type" in container and context.previous_context is not None:
+                container_context = context.previous_context
+            elif "@id" in container and td.has_context:
+                container_context = context.parse(
+                    td.context, base_url=td.base_url, propagate=False
+                )
+            else:
+                container_context = context
             for k in sorted(value.keys()):
                 item_value = value[k]
-                map_context = context
-                if container & {"@id", "@type"}:
-                    ktd = context.terms.get(k)
+                map_context = None
+                if "@type" in container:
+                    ktd = container_context.terms.get(k)
                     if ktd is not None and ktd.has_context:
-                        map_context = context.parse(
-                            ktd.context, base_url=ktd.base_url,
-                            propagate="@type" not in container,
+                        map_context = container_context.parse(
+                            ktd.context, base_url=ktd.base_url, propagate=False
                         )
-                expanded_k = context.expand_iri(k, vocab=True)
+                if map_context is None:
+                    map_context = container_context
+                expanded_k = container_context.expand_iri(k, vocab=True)
                 item_value = (
                     item_value if isinstance(item_value, list) else [item_value]
                 )
@@ -397,32 +409,46 @@ def _expand_object(
                     item_value, key, map_context, ordered, base_url, from_map=True
                 )
                 for item in expanded_items:
-                    if "@graph" in container and not is_graph_object(item):
-                        item = {"@graph": item if isinstance(item, list) else [item]}
-                    if "@index" in container and expanded_k != "@none":
+                    if "@index" in container:
+                        if "@graph" in container and not is_graph_object(item):
+                            item = {"@graph": item if isinstance(item, list) else [item]}
                         if index_key == "@index":
-                            if "@graph" not in container:
+                            if expanded_k != "@none":
                                 item.setdefault("@index", k)
-                            else:
-                                item.setdefault("@index", k)
+                        elif is_value_object(item):
+                            # expand.rb:723-724
+                            raise JsonLdError(
+                                err.INVALID_VALUE_OBJECT,
+                                f"attempt to add {index_key!r} to a value object",
+                            )
                         else:
-                            # property-based index (expand.rb:700-720)
-                            index_prop = context.expand_iri(
-                                index_key, vocab=True
+                            # property-based index (expand.rb:725-737)
+                            ev = (
+                                "@none"
+                                if k == "@none"
+                                else container_context.expand_value(index_key, k)
                             )
-                            ev = context.expand_value(index_key, k)
-                            existing = item.get(index_prop, [])
-                            existing = (
-                                existing
-                                if isinstance(existing, list)
-                                else [existing]
+                            if ev != "@none":
+                                index_prop = container_context.expand_iri(
+                                    index_key, vocab=True
+                                )
+                                existing = item.get(index_prop, [])
+                                existing = (
+                                    existing
+                                    if isinstance(existing, list)
+                                    else [existing]
+                                )
+                                item[index_prop] = [ev] + existing
+                    elif "@id" in container:
+                        if "@graph" in container and not is_graph_object(item):
+                            item = {"@graph": item if isinstance(item, list) else [item]}
+                        if expanded_k != "@none":
+                            item.setdefault(
+                                "@id",
+                                container_context.expand_iri(
+                                    k, document_relative=True
+                                ),
                             )
-                            item[index_prop] = [ev] + existing
-                    elif "@id" in container and expanded_k != "@none":
-                        item.setdefault(
-                            "@id",
-                            context.expand_iri(k, document_relative=True),
-                        )
                     elif "@type" in container and expanded_k != "@none":
                         types = item.get("@type", [])
                         types = types if isinstance(types, list) else [types]

@@ -1,0 +1,111 @@
+"""Conformance sweep over the reference's inline RSpec test tables.
+
+Aggregate pass-rate gates (not per-case tests): each suite must stay
+at or above its measured floor and must produce ZERO crashes
+(non-JsonLdError exceptions). Raising a floor after improving the core
+is encouraged; lowering one is a regression.
+
+Case data: harvested at test time from /root/reference/spec/*.rb (see
+tests/spec_harvest.py). rdfstar and option-bearing cases we don't
+model are excluded up front.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spec_harvest import harvest, norm, parse_json_fields
+
+from json_ld_spark.core import api
+from json_ld_spark.core.errors import JsonLdError
+
+
+def _run_suite(spec_file, runner, floor):
+    raw = harvest(spec_file)
+    passed = failed = crashed = skipped = 0
+    failures = []
+    for case in raw:
+        if case["unsupported"]:
+            skipped += 1
+            continue
+        case = parse_json_fields(case)
+        if case is None:
+            skipped += 1
+            continue
+        try:
+            ok = runner(case)
+            if ok is None:
+                skipped += 1
+            elif ok:
+                passed += 1
+            else:
+                failed += 1
+                failures.append((case["title"], "mismatch"))
+        except JsonLdError as e:
+            if case["exception"]:
+                passed += 1
+            else:
+                failed += 1
+                failures.append((case["title"], f"JsonLdError {e.code}"))
+        except RecursionError:
+            failed += 1
+            failures.append((case["title"], "RecursionError"))
+        except Exception as e:  # crash = hard failure
+            crashed += 1
+            failures.append((case["title"], f"CRASH {type(e).__name__}: {e}"))
+    total = passed + failed + crashed
+    rate = passed / total if total else 1.0
+    detail = "\n".join(f"  - {t}: {why}" for t, why in failures[:30])
+    assert crashed == 0, f"{spec_file}: {crashed} crashes\n{detail}"
+    assert rate >= floor, (
+        f"{spec_file}: pass rate {rate:.3f} < floor {floor} "
+        f"(pass={passed} fail={failed} skip={skipped})\n{detail}"
+    )
+
+
+def _opts(case):
+    kw = {}
+    if case["base"]:
+        kw["base"] = case["base"]
+    if case["processing_mode"]:
+        kw["processing_mode"] = case["processing_mode"]
+    return kw
+
+
+def test_expand_spec_suite():
+    def run(case):
+        got = api.expand(case["input"], **_opts(case))
+        if case["exception"] and case["output"] is None:
+            return False  # expected an error, got a result
+        if case["output"] is None:
+            return None
+        return norm(got) == norm(case["output"])
+
+    _run_suite("expand_spec.rb", run, floor=0.99)
+
+
+def test_compact_spec_suite():
+    def run(case):
+        ctx = case["context"]
+        if ctx is None:
+            return None
+        got = api.compact(case["input"], ctx, **_opts(case))
+        if case["exception"] and case["output"] is None:
+            return False
+        if case["output"] is None:
+            return None
+        return norm(got) == norm(case["output"])
+
+    _run_suite("compact_spec.rb", run, floor=0.97)
+
+
+def test_flatten_spec_suite():
+    def run(case):
+        got = api.flatten(case["input"], case["context"], **_opts(case))
+        if case["exception"] and case["output"] is None:
+            return False
+        if case["output"] is None:
+            return None
+        return norm(got) == norm(case["output"])
+
+    _run_suite("flatten_spec.rb", run, floor=0.93)
