@@ -145,3 +145,235 @@ def norm(x):
     if isinstance(x, (int, float)):
         return ("n", float(x))
     return ("s", str(x))
+
+
+# ---------------------------------------------------------------------------
+# Turtle subset parser (test-side only): enough for the reference's
+# to_rdf_spec.rb tables — @prefix, IRIs, prefixed names, `a`, _:bnodes,
+# [ ... ] anonymous nodes, ( ... ) collections, `;` `,` shorthand,
+# typed/language literals, numeric/boolean shorthand.
+# ---------------------------------------------------------------------------
+
+from json_ld_spark.core.rdf import (  # noqa: E402
+    Term,
+    Triple,
+    bnode as _bnode,
+    iri as _iri,
+)
+
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_TTL_TOKEN = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<iriref><[^>]*>)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
+  | (?P<dtmark>\^\^)
+  | (?P<bnode>_:[A-Za-z0-9]+)
+  | (?P<pname>[A-Za-z][\w.-]*)?:(?P<plocal>[\w.-]*)
+  | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<kw>a\b|true\b|false\b|@prefix)
+  | (?P<punct>[\[\]();,.])
+    """,
+    re.X,
+)
+
+
+def _ttl_tokens(text: str) -> list[tuple[str, str]]:
+    out = []
+    i = 0
+    while i < len(text):
+        m = _TTL_TOKEN.match(text, i)
+        if not m:
+            raise ValueError(f"turtle tokenize error at {text[i:i+30]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind in ("ws",):
+            continue
+        if kind == "plocal":  # pname match sets plocal as lastgroup
+            out.append(("pname", (m.group("pname") or "") + ":" + m.group("plocal")))
+        else:
+            out.append((kind, m.group(0)))
+    return out
+
+
+class _TtlParser:
+    def __init__(self, text: str):
+        self.toks = _ttl_tokens(text)
+        self.i = 0
+        self.prefixes = {"xsd": _XSD, "rdf": _RDF}
+        self.triples: list[Triple] = []
+        self.n_bn = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, val):
+        k, v = self.next()
+        if v != val:
+            raise ValueError(f"expected {val!r}, got {v!r}")
+
+    def fresh_bnode(self) -> Term:
+        self.n_bn += 1
+        return _bnode(f"_:anon{self.n_bn}")
+
+    def parse(self) -> list[Triple]:
+        while self.peek()[0] is not None:
+            k, v = self.peek()
+            if v == "@prefix":
+                self.next()
+                _, pname = self.next()
+                _, iriref = self.next()
+                self.prefixes[pname.rstrip(":").split(":")[0]] = iriref[1:-1]
+                self.expect(".")
+            else:
+                subj = self.parse_node()
+                if self.peek()[1] != ".":
+                    self.parse_po_list(subj)
+                self.expect(".")
+        return self.triples
+
+    def resolve(self, pname: str) -> str:
+        pref, _, local = pname.partition(":")
+        if pref not in self.prefixes:
+            raise ValueError(f"unknown prefix {pref!r}")
+        return self.prefixes[pref] + local
+
+    def parse_node(self) -> Term:
+        k, v = self.next()
+        if k == "iriref":
+            return _iri(v[1:-1])
+        if k == "bnode":
+            return _bnode(v)
+        if k == "pname":
+            return _iri(self.resolve(v))
+        if v == "[":
+            node = self.fresh_bnode()
+            if self.peek()[1] != "]":
+                self.parse_po_list(node)
+            self.expect("]")
+            return node
+        if v == "(":
+            items = []
+            while self.peek()[1] != ")":
+                items.append(self.parse_object())
+            self.expect(")")
+            if not items:
+                return _iri(_RDF + "nil")
+            nodes = [self.fresh_bnode() for _ in items]
+            for idx, item in enumerate(items):
+                self.triples.append(Triple(nodes[idx], _iri(_RDF + "first"), item, None))
+                rest = nodes[idx + 1] if idx + 1 < len(nodes) else _iri(_RDF + "nil")
+                self.triples.append(Triple(nodes[idx], _iri(_RDF + "rest"), rest, None))
+            return nodes[0]
+        raise ValueError(f"unexpected subject token {v!r}")
+
+    def parse_po_list(self, subj: Term) -> None:
+        while True:
+            k, v = self.next()
+            if v == "a":
+                pred = _iri(_RDF + "type")
+            elif k == "iriref":
+                pred = _iri(v[1:-1])
+            elif k == "pname":
+                pred = _iri(self.resolve(v))
+            elif k == "bnode":
+                pred = _bnode(v)
+            else:
+                raise ValueError(f"unexpected predicate token {v!r}")
+            while True:
+                obj = self.parse_object()
+                self.triples.append(Triple(subj, pred, obj, None))
+                if self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek()[1] == ";":
+                self.next()
+                if self.peek()[1] in (".", "]", None):
+                    return  # trailing semicolon
+                continue
+            return
+
+    def parse_object(self) -> Term:
+        k, v = self.peek()
+        if k == "string":
+            self.next()
+            raw = json.loads(v.replace("\\'", "'"))  # turtle escapes ≈ JSON
+            nk, nv = self.peek()
+            if nk == "langtag":
+                self.next()
+                return Term("literal", raw,
+                            _RDF + "langString", nv[1:].lower())
+            if nk == "dtmark":
+                self.next()
+                dk, dv = self.next()
+                dt = dv[1:-1] if dk == "iriref" else self.resolve(dv)
+                return Term("literal", raw, dt, None)
+            return Term("literal", raw, _XSD + "string", None)
+        if k == "num":
+            self.next()
+            if "." in v or "e" in v.lower():
+                dt = _XSD + ("double" if "e" in v.lower() else "decimal")
+            else:
+                dt = _XSD + "integer"
+            return Term("literal", v, dt, None)
+        if v in ("true", "false"):
+            self.next()
+            return Term("literal", v, _XSD + "boolean", None)
+        return self.parse_node()
+
+
+def parse_turtle(text: str) -> list[Triple]:
+    return _TtlParser(text).parse()
+
+
+_PAIR_RE = re.compile(
+    r"""['"]([^'"\n]{1,160})['"]\s*=>\s*\[\s*
+        '((?:[^'\\]|\\.)*)'\s*,\s*
+        '((?:[^'\\]|\\.)*)'\s*\]""",
+    re.X | re.S,
+)
+
+
+def harvest_to_rdf(spec_file: str = "to_rdf_spec.rb") -> list[dict]:
+    """JSON→Turtle pairs from to_rdf_spec.rb tables, with per-table
+    options scraped from the following `it title do ... parse(js, ...)`
+    block."""
+    src = open(f"{SPEC}/{spec_file}").read()
+    its = [
+        (m.start(), src[m.start() : m.start() + 400])
+        for m in re.finditer(r"it title do", src)
+    ]
+    cases = []
+    for m in _PAIR_RE.finditer(src):
+        title, js, ttl = m.group(1), m.group(2), m.group(3)
+        js = js.replace("\\'", "'")
+        ttl = ttl.replace("\\'", "'")
+        opts: dict = {}
+        unsupported = False
+        for pos, block in its:
+            if pos > m.end():
+                if "rdfstar" in block or "validate: false" in block:
+                    unsupported = True
+                rd = re.search(r"rdfDirection:\s*'([^']+)'", block)
+                if rd:
+                    opts["rdf_direction"] = rd.group(1)
+                bm = re.search(r"base:\s*['\"]([^'\"]+)['\"]", block)
+                if bm:
+                    opts["base"] = bm.group(1)
+                if "produceGeneralizedRdf" in block:
+                    opts["produce_generalized_rdf"] = True
+                break
+        cases.append(
+            {"title": title, "input": js, "ttl": ttl, "opts": opts,
+             "unsupported": unsupported}
+        )
+    return cases

@@ -109,3 +109,47 @@ def test_flatten_spec_suite():
         return norm(got) == norm(case["output"])
 
     _run_suite("flatten_spec.rb", run, floor=0.93)
+
+
+def test_to_rdf_spec_suite():
+    """JSON→Turtle tables from to_rdf_spec.rb, compared under graph
+    isomorphism (the reference's be_equivalent_graph semantics)."""
+    from spec_harvest import harvest_to_rdf, parse_turtle
+
+    from json_ld_spark.core.rdf import isomorphic
+
+    passed = failed = crashed = skipped = 0
+    failures = []
+    for case in harvest_to_rdf():
+        if case["unsupported"]:
+            skipped += 1
+            continue
+        try:
+            doc = __import__("json").loads(case["input"])
+        except ValueError:
+            skipped += 1
+            continue
+        want = parse_turtle(
+            "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> . " + case["ttl"]
+        )
+        try:
+            got = api.to_rdf(doc, **case["opts"])
+            if isomorphic(got, want):
+                passed += 1
+            else:
+                failed += 1
+                failures.append((case["title"], "graph mismatch"))
+        except JsonLdError as e:
+            failed += 1
+            failures.append((case["title"], f"JsonLdError {e.code}"))
+        except Exception as e:
+            crashed += 1
+            failures.append((case["title"], f"CRASH {type(e).__name__}: {e}"))
+    total = passed + failed + crashed
+    rate = passed / total if total else 1.0
+    detail = "\n".join(f"  - {t}: {why}" for t, why in failures[:30])
+    assert crashed == 0, f"to_rdf: {crashed} crashes\n{detail}"
+    assert rate >= 0.95, (
+        f"to_rdf pass rate {rate:.3f} (pass={passed} fail={failed} "
+        f"skip={skipped})\n{detail}"
+    )
