@@ -18,11 +18,13 @@ import json
 from typing import Any, Iterable, Optional
 
 from json_ld_spark.core import compact as compact_mod
+from json_ld_spark.core import errors as err
 from json_ld_spark.core import expand as expand_mod
 from json_ld_spark.core import flatten as flatten_mod
 from json_ld_spark.core import from_rdf as from_rdf_mod
 from json_ld_spark.core import to_rdf as to_rdf_mod
 from json_ld_spark.core.context import Context, Options
+from json_ld_spark.core.errors import JsonLdError
 from json_ld_spark.core.keywords import BlankNodeNamer
 from json_ld_spark.core.rdf import Triple
 
@@ -172,12 +174,18 @@ def expanded_to_rdf_stream(
 
 
 def frame(document: Any, frame_doc: Any, options: Optional[Options] = None,
+          embed: str = "@once", explicit: bool = False,
+          require_all: bool = False, omit_default: bool = False,
+          omit_graph: Optional[bool] = None,
+          prune_blank_node_identifiers: Optional[bool] = None,
           **kwargs) -> dict:
     """Frame a document. Parity: API.frame, api.rb:383-510."""
     from json_ld_spark.core import framing as frame_mod
 
     options = _make_options(options, **kwargs)
     frame_loaded = _load(frame_doc)
+    if not isinstance(frame_loaded, dict):
+        raise JsonLdError(err.INVALID_FRAME, repr(frame_loaded))
     expanded = expand(document, options)
     frame_options = Options(
         base=options.base,
@@ -187,27 +195,68 @@ def frame(document: Any, frame_doc: Any, options: Optional[Options] = None,
         frame_expansion=True,
     )
     expanded_frame = expand(frame_loaded, frame_options)
-    expanded_frame = expanded_frame[0] if expanded_frame else {}
+
+    ctx_val = frame_loaded.get("@context")
+    context = Context(options)
+    if ctx_val is not None:
+        cv = ctx_val
+        if isinstance(cv, dict) and "@context" in cv:
+            cv = cv["@context"]
+        context = context.parse(cv, base_url=options.base)
+    mode_11 = context.processing_mode != "json-ld-1.0"
+    if omit_graph is None:
+        omit_graph = mode_11  # api.rb:448
+    if prune_blank_node_identifiers is None:
+        prune_blank_node_identifiers = mode_11  # api.rb:473-475
 
     namer = BlankNodeNamer()
     renamed = flatten_mod.rename_bnodes(expanded, namer)
     graph_map: dict[str, dict[str, dict]] = {"@default": {}}
     flatten_mod.create_node_map(renamed, graph_map, namer=namer)
 
-    state = frame_mod.FrameState(graph_map)
+    # graph selection (api.rb:455-464): frame with @graph key frames
+    # the default graph, otherwise the merged graph
+    frame_keys = {context.expand_iri(k, vocab=True) for k in frame_loaded}
+    if "@graph" in frame_keys:
+        graph = "@default"
+    else:
+        graph = "@merged"
+        graph_map["@merged"] = flatten_mod.merge_node_map_graphs(graph_map)
+
+    state = frame_mod.FrameState(
+        graph_map, graph=graph, embed=embed, explicit=explicit,
+        require_all=require_all, omit_default=omit_default,
+    )
     results: list = []
     frame_mod.frame_node(
-        state, sorted(graph_map["@default"].keys()), expanded_frame, results, None
+        state, sorted(state.subjects.keys()),
+        [expanded_frame[0] if expanded_frame else {}], results, None,
+        ordered=options.ordered,
     )
-    counts: dict = {}
-    frame_mod.count_bnode_identifiers(results, counts)
-    results = frame_mod.prune_bnodes(results, counts)
+
+    if prune_blank_node_identifiers:
+        counts: dict = {}
+        frame_mod.count_bnode_identifiers(results, counts)
+        results = frame_mod.prune_bnodes(results, counts)
     results = frame_mod.cleanup_preserve(results)
 
-    ctx = frame_loaded.get("@context") if isinstance(frame_loaded, dict) else None
-    if ctx is not None:
-        return compact(results, {"@context": ctx}, options, expanded_input=True)
-    return {"@graph": results}
+    compacted = compact_mod.compact(
+        results, None, context,
+        ordered=options.ordered, compact_arrays=options.compact_arrays,
+    )
+    compacted = frame_mod.cleanup_null(compacted)
+    if not omit_graph and not isinstance(compacted, list):
+        compacted = [compacted]
+    if isinstance(compacted, list):
+        kwgraph = context.compact_iri("@graph", vocab=True)
+        result: dict = {kwgraph: compacted}
+    else:
+        result = compacted if isinstance(compacted, dict) else {}
+    if ctx_val is not None and result:
+        result = {"@context": ctx_val, **result}
+    elif ctx_val is not None:
+        result = {"@context": ctx_val, **result}
+    return result
 
 
 def to_rdf(

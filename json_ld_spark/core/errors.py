@@ -66,3 +66,5 @@ LOADING_DOCUMENT_FAILED = "loading document failed"
 LOADING_REMOTE_CONTEXT_FAILED = "loading remote context failed"
 PROCESSING_MODE_CONFLICT = "processing mode conflict"
 PROTECTED_TERM_REDEFINITION = "protected term redefinition"
+INVALID_FRAME = "invalid frame"
+INVALID_EMBED_VALUE = "invalid @embed value"

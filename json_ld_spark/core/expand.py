@@ -119,23 +119,45 @@ def expand(
         element, active_property, context, output, ordered, base_url, type_key
     )
 
-    # value-object validation (expand.rb:134-178)
+    # value-object validation (expand.rb:134-178, framing-aware)
     if "@value" in output:
+        framing = context.options.frame_expansion
         keys = set(output.keys())
         if not keys <= _VALUE_KEYS:
             raise JsonLdError(err.INVALID_VALUE_OBJECT, repr(sorted(keys)))
         if "@type" in output and ("@language" in output or "@direction" in output):
             raise JsonLdError(err.INVALID_VALUE_OBJECT, "@type with @language")
-        if output.get("@type") == "@json":
-            pass  # any JSON value allowed
-        elif output["@value"] is None or output["@value"] == []:
+        if "@language" in output and output["@language"] == []:
+            del output["@language"]
+        type_is_json = output.get("@type") == "@json"
+        if "@type" in output and output["@type"] == []:
+            del output["@type"]
+        vals = output["@value"]
+        vals = vals if isinstance(vals, list) else (
+            [] if vals is None else [vals]
+        )
+        if not vals and not type_is_json:
             return None
-        elif "@language" in output and not isinstance(output["@value"], str):
+        if type_is_json:
+            pass  # any JSON value allowed
+        elif "@language" in output and not all(
+            isinstance(v, str) or v == {} for v in vals
+        ):
             raise JsonLdError(
                 err.INVALID_LANGUAGE_TAGGED_VALUE, repr(output["@value"])
             )
-        elif "@type" in output and not is_absolute_iri(output["@type"]):
-            raise JsonLdError(err.INVALID_TYPED_VALUE, repr(output.get("@type")))
+        elif "@type" in output:
+            types = output["@type"]
+            types = types if isinstance(types, list) else [types]
+            if not all(
+                (isinstance(t, str) and is_absolute_iri(t)
+                 and not t.startswith("_:"))
+                or t == {}
+                for t in types
+            ) or (not framing and not isinstance(output["@type"], str)):
+                raise JsonLdError(
+                    err.INVALID_TYPED_VALUE, repr(output.get("@type"))
+                )
         return output
 
     # @type normalization to array (expand.rb:180)
@@ -241,14 +263,41 @@ def _expand_object(
                     raise JsonLdError(err.INVALID_INCLUDED_VALUE, repr(value))
                 add_value(output, "@included", included, property_is_array=True)
             elif expanded_property == "@type":
-                vals = value if isinstance(value, list) else [value]
-                expanded_types = []
-                for v in vals:
-                    if not isinstance(v, str):
-                        raise JsonLdError(err.INVALID_TYPE_VALUE, repr(v))
-                    expanded_types.append(
-                        context.expand_iri(v, vocab=True, document_relative=True)
-                    )
+                framing = context.options.frame_expansion
+                expanded_types: list
+                if isinstance(value, dict):
+                    # frame wildcards / @default maps (expand.rb:399-423)
+                    if not framing:
+                        raise JsonLdError(err.INVALID_TYPE_VALUE, repr(value))
+                    if len(value) == 1 and context.expand_iri(
+                        next(iter(value)), vocab=True
+                    ) == "@default":
+                        dvals = value["@default"]
+                        dvals = dvals if isinstance(dvals, list) else [dvals]
+                        for v in dvals:
+                            if not isinstance(v, str):
+                                raise JsonLdError(err.INVALID_TYPE_VALUE, repr(v))
+                        expanded_types = [{
+                            "@default": [
+                                context.expand_iri(
+                                    v, vocab=True, document_relative=True
+                                )
+                                for v in dvals
+                            ]
+                        }]
+                    elif value:
+                        raise JsonLdError(err.INVALID_TYPE_VALUE, repr(value))
+                    else:
+                        expanded_types = [{}]
+                else:
+                    vals = value if isinstance(value, list) else [value]
+                    expanded_types = []
+                    for v in vals:
+                        if not isinstance(v, str):
+                            raise JsonLdError(err.INVALID_TYPE_VALUE, repr(v))
+                        expanded_types.append(
+                            context.expand_iri(v, vocab=True, document_relative=True)
+                        )
                 existing = output.get("@type")
                 if existing is not None:
                     existing = (
@@ -257,7 +306,7 @@ def _expand_object(
                     expanded_types = existing + expanded_types
                 output["@type"] = (
                     expanded_types
-                    if isinstance(value, list) or len(expanded_types) > 1
+                    if framing or isinstance(value, list) or len(expanded_types) > 1
                     else expanded_types[0]
                 )
             elif expanded_property == "@graph":
@@ -265,16 +314,52 @@ def _expand_object(
                 graph = graph if isinstance(graph, list) else [graph]
                 output["@graph"] = [g for g in graph if g is not None]
             elif expanded_property == "@value":
+                framing = context.options.frame_expansion
                 if input_type == "@json" and context.processing_mode != "json-ld-1.0":
                     output["@value"] = value
-                elif value is None or is_scalar(value):
+                elif value is None:
+                    output["@value"] = None
+                elif is_scalar(value):
+                    output["@value"] = [value] if framing else value
+                elif isinstance(value, list):
+                    # arrays only in frame expansion (expand.rb:450-455)
+                    if not framing:
+                        raise JsonLdError(
+                            err.INVALID_VALUE_OBJECT_VALUE, repr(value)
+                        )
                     output["@value"] = value
+                elif isinstance(value, dict):
+                    if not (value == {} and framing):
+                        raise JsonLdError(
+                            err.INVALID_VALUE_OBJECT_VALUE, repr(value)
+                        )
+                    output["@value"] = [value]
                 else:
                     raise JsonLdError(err.INVALID_VALUE_OBJECT_VALUE, repr(value))
             elif expanded_property == "@language":
-                if not isinstance(value, str):
-                    raise JsonLdError(err.INVALID_LANGUAGE_TAGGED_STRING, repr(value))
-                output["@language"] = value.lower()
+                framing = context.options.frame_expansion
+                if isinstance(value, str):
+                    # case preserved: lowercasing only under the
+                    # lowercaseLanguage option (expand.rb:476)
+                    output["@language"] = [value] if framing else value
+                elif isinstance(value, list) and framing:
+                    lowered = []
+                    for v in value:
+                        if isinstance(v, str):
+                            lowered.append(v)
+                        elif v == {}:
+                            lowered.append(v)
+                        else:
+                            raise JsonLdError(
+                                err.INVALID_LANGUAGE_TAGGED_STRING, repr(v)
+                            )
+                    output["@language"] = lowered
+                elif value == {} and framing:
+                    output["@language"] = [value]
+                else:
+                    raise JsonLdError(
+                        err.INVALID_LANGUAGE_TAGGED_STRING, repr(value)
+                    )
             elif expanded_property == "@direction":
                 if value not in ("ltr", "rtl"):
                     raise JsonLdError(err.INVALID_BASE_DIRECTION, repr(value))
@@ -365,7 +450,7 @@ def _expand_object(
                         )
                     v: dict[str, Any] = {"@value": item}
                     if lang != "@none" and context.expand_iri(lang, vocab=True) != "@none":
-                        v["@language"] = lang.lower()
+                        v["@language"] = lang  # case preserved (expand.rb:669)
                     if td.direction != "unset":
                         if td.direction is not None:
                             v["@direction"] = td.direction

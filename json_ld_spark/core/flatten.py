@@ -188,7 +188,9 @@ def merge_node_map_graphs(graph_map: dict[str, dict[str, dict]]) -> dict[str, di
             for prop, values in node.items():
                 if prop == "@id":
                     continue
-                if prop.startswith("@"):
+                # @type MERGES across graphs; other keywords copy
+                # (flatten.rb:282-288)
+                if prop.startswith("@") and prop != "@type":
                     merged_node[prop] = node[prop]
                 else:
                     add_value(

@@ -79,7 +79,14 @@ def resource_representation(
                 pass
         if dt == XSD_STRING:
             return {"@value": t.value}
-    result = {"@value": t.value}
+    value = t.value
+    if dt == XSD_DOUBLE:
+        # valid non-native doubles re-canonicalize (from_rdf.rb:239)
+        try:
+            value = canonical_double(float(value))
+        except ValueError:
+            pass
+    result = {"@value": value}
     if dt != XSD_STRING:
         result["@type"] = dt
     return result

@@ -209,11 +209,13 @@ def object_to_rdf_literal(value: Any, datatype: Optional[str], language: Optiona
         return Term(LITERAL, str(value), datatype or XSD_INTEGER, None)
     # string
     value = str(value)
+    # language tags lowercase in RDF literals (to_rdf.rb:58,76 via
+    # RDF::Literal canonical form), though expansion preserves case
     if direction is not None and rdf_direction == "i18n-datatype":
-        dt = f"https://www.w3.org/ns/i18n#{language or ''}_{direction}"
+        dt = f"https://www.w3.org/ns/i18n#{(language or '').lower()}_{direction}"
         return Term(LITERAL, value, dt, None)
     if language is not None:
-        return Term(LITERAL, value, RDF_LANGSTRING, language)
+        return Term(LITERAL, value, RDF_LANGSTRING, language.lower())
     return Term(LITERAL, value, datatype or XSD_STRING, None)
 
 

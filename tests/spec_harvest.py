@@ -43,32 +43,49 @@ def _extract_pct_paren(src: str, start: int) -> tuple[str, int]:
     raise ValueError("unbalanced %()")
 
 
+def _case_block(src: str, start: int) -> int:
+    """start indexes the '{' of a `'title' => {` case hash; returns the
+    index past its balanced close, skipping %( ... ) literal spans so
+    braces inside embedded JSON don't confuse the count."""
+    depth = 0
+    i = start
+    while i < len(src):
+        c = src[i]
+        if c == "%" and i + 1 < len(src) and src[i + 1] == "(":
+            _, i = _extract_pct_paren(src, i + 1)
+            continue
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return len(src)
+
+
 def harvest(spec_file: str) -> list[dict]:
     """Return a list of case dicts: {title, input, output, context,
-    frame, exception, base, processing_mode, unsupported}."""
+    frame, exception, base, processing_mode, unsupported}. Cases are
+    `'title' => { ...fields... }` hashes with %() JSON literals; field
+    order varies by suite (frame_spec puts frame: first), so each case
+    is bounded by balanced braces, not by the next input:."""
     src = open(f"{SPEC}/{spec_file}").read()
-    marks = list(re.finditer(r"input:\s*%\(", src))
-    # each `.each do |title, params|` table ends with ONE runner line,
-    # `it(title) { run_xxx ... }` — its options apply to every case in
-    # the table, and it is the first such line after the case
     runners = [
         (m.start(), m.group(0))
         for m in re.finditer(r"it\((?:title|name)\)\s*\{[^\n]*", src)
     ]
     cases: list[dict] = []
-    for idx, m in enumerate(marks):
-        try:
-            content, end = _extract_pct_paren(src, m.end() - 1)
-        except ValueError:
-            continue
-        nxt = marks[idx + 1].start() if idx + 1 < len(marks) else len(src)
-        block = src[end:nxt]
-        titles = re.findall(
-            r"['\"]([^'\"\n]{1,160})['\"]\s*=>\s*\{", src[: m.start()]
-        )
+    # case keys appear as `'title' => {` (hash-rocket) or `'title': {`
+    # (quoted-symbol) depending on the spec file
+    for m in re.finditer(r"['\"]([^'\"\n]{1,160})['\"](?:\s*=>\s*|:\s*)\{", src):
+        block_end = _case_block(src, m.end() - 1)
+        block = src[m.end() : block_end]
+        if not re.search(r"input:\s*%\(", block):
+            continue  # not a test-case hash (e.g. nested JSON object)
         case: dict = {
-            "title": titles[-1] if titles else f"case{idx}",
-            "input": content,
+            "title": m.group(1),
+            "input": None,
             "output": None,
             "context": None,
             "frame": None,
@@ -77,13 +94,15 @@ def harvest(spec_file: str) -> list[dict]:
             "processing_mode": None,
             "unsupported": False,
         }
-        for field in ("output", "context", "frame"):
+        for field in ("input", "output", "context", "frame"):
             fm = re.search(rf"{field}:\s*%\(", block)
             if fm:
                 try:
                     case[field], _ = _extract_pct_paren(block, fm.end() - 1)
                 except ValueError:
                     pass
+        if case["input"] is None:
+            continue
         em = re.search(r"exception:\s*JSON::LD::JsonLdError::(\w+)", block)
         if em:
             case["exception"] = em.group(1)
@@ -93,13 +112,29 @@ def harvest(spec_file: str) -> list[dict]:
         pm = re.search(r"processingMode:\s*[\"']([^\"']+)[\"']", block)
         if pm:
             case["processing_mode"] = pm.group(1)
-        if _UNSUPPORTED_CASE_OPTS.search(block.split("input:")[0] if "input:" in block else block):
+        # strip the embedded %() spans, then scan remaining Ruby keys
+        # for options we model (booleans) or don't (→ unsupported)
+        ruby_only = re.sub(r"%\((?:[^()]|\([^()]*\))*\)", "", block)
+        case["ruby_opts"] = {}
+        for opt, name in (("pruneBlankNodeIdentifiers",
+                           "prune_blank_node_identifiers"),
+                          ("omitGraph", "omit_graph"),
+                          ("requireAll", "require_all"),
+                          ("explicit", "explicit"),
+                          ("omitDefault", "omit_default")):
+            om = re.search(rf"^\s*{opt}:\s*(true|false)", ruby_only, re.M)
+            if om:
+                case["ruby_opts"][name] = om.group(1) == "true"
+        em2 = re.search(r"^\s*embed:\s*['\"]([^'\"]+)['\"]", ruby_only, re.M)
+        if em2:
+            case["ruby_opts"]["embed"] = em2.group(1)
+        if _UNSUPPORTED_CASE_OPTS.search(ruby_only):
             case["unsupported"] = True
-        if re.search(r"rdfstar:\s*true", block):
+        if re.search(r"rdfstar:\s*true", ruby_only):
             case["unsupported"] = True
         # group runner applying to this case: first it(title) AFTER it
         for pos, line in runners:
-            if pos > m.start():
+            if pos > block_end:
                 gb = re.search(r"base:\s*[\"']([^\"']+)[\"']", line)
                 if gb and case["base"] is None:
                     case["base"] = gb.group(1)
@@ -109,12 +144,6 @@ def harvest(spec_file: str) -> list[dict]:
                 if re.search(r"rdfstar|validate|write:|library|StringIO", line):
                     case["unsupported"] = True
                 break
-        # per-case unsupported options appear between the case's title
-        # brace and its input: — scan the 400 chars before input too
-        pre = src[max(0, m.start() - 400) : m.start()]
-        last_open = pre.rfind("=> {")
-        if last_open >= 0 and _UNSUPPORTED_CASE_OPTS.search(pre[last_open:]):
-            case["unsupported"] = True
         cases.append(case)
     return cases
 
@@ -376,4 +405,45 @@ def harvest_to_rdf(spec_file: str = "to_rdf_spec.rb") -> list[dict]:
             {"title": title, "input": js, "ttl": ttl, "opts": opts,
              "unsupported": unsupported}
         )
+    return cases
+
+
+def harvest_from_rdf(spec_file: str = "from_rdf_spec.rb") -> list[dict]:
+    """Turtle-input → expanded-JSON-output cases from from_rdf_spec.rb
+    (expected values are Ruby hash literals mechanically converted to
+    JSON; non-convertible cases are skipped)."""
+    src = open(f"{SPEC}/{spec_file}").read()
+    cases = []
+    for ch in re.split(r'\n\s*it "', src)[1:]:
+        title = ch.split('"', 1)[0]
+        im = re.search(r"input\s*=\s*%\(", ch)
+        pm = re.search(r"produce_jsonld\(\s*(\[.*?\])\s*,\s*logger\)", ch, re.S)
+        if not im or not pm:
+            continue
+        start = im.end() - 1
+        depth = 0
+        i = start
+        while i < len(ch):
+            if ch[i] == "(":
+                depth += 1
+            elif ch[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        ttl = ch[im.end() : i]
+        j = re.sub(r"=>", ":", pm.group(1))
+        j = re.sub(r"\bnil\b", "null", j).replace("'", '"')
+        try:
+            want = json.loads(j)
+        except ValueError:
+            continue
+        opts: dict = {}
+        if "useNativeTypes: true" in ch:
+            opts["use_native_types"] = True
+        if "useRdfType: true" in ch:
+            opts["use_rdf_type"] = True
+        if re.search(r"rdfDirection: .i18n-datatype", ch):
+            opts["rdf_direction"] = "i18n-datatype"
+        cases.append({"title": title, "ttl": ttl, "output": want, "opts": opts})
     return cases

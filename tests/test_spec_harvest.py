@@ -153,3 +153,71 @@ def test_to_rdf_spec_suite():
         f"to_rdf pass rate {rate:.3f} (pass={passed} fail={failed} "
         f"skip={skipped})\n{detail}"
     )
+
+
+def test_from_rdf_spec_suite():
+    """Turtle→expanded-JSON cases from from_rdf_spec.rb."""
+    from spec_harvest import harvest_from_rdf, parse_turtle
+
+    passed = failed = crashed = 0
+    failures = []
+    for case in harvest_from_rdf():
+        try:
+            triples = parse_turtle(case["ttl"])
+            got = api.from_rdf(triples, ordered=True, **case["opts"])
+            if norm(got) == norm(case["output"]):
+                passed += 1
+            else:
+                failed += 1
+                failures.append((case["title"], "mismatch"))
+        except Exception as e:
+            crashed += 1
+            failures.append((case["title"], f"CRASH {type(e).__name__}: {e}"))
+    detail = "\n".join(f"  - {t}: {w}" for t, w in failures)
+    assert crashed == 0 and passed / (passed + failed) >= 0.95, (
+        f"from_rdf pass={passed} fail={failed} crash={crashed}\n{detail}"
+    )
+
+
+def test_frame_spec_suite():
+    """input+frame→output cases from frame_spec.rb (processingMode
+    defaults to json-ld-1.0 per the spec's do_frame helper)."""
+    passed = failed = crashed = skipped = 0
+    failures = []
+    for c0 in harvest("frame_spec.rb"):
+        if c0["unsupported"]:
+            skipped += 1
+            continue
+        case = parse_json_fields(c0)
+        if case is None or case["frame"] is None or case["output"] is None:
+            skipped += 1
+            continue
+        kw = dict(case.get("ruby_opts") or {})
+        if case["base"]:
+            kw["base"] = case["base"]
+        kw["processing_mode"] = case["processing_mode"] or "json-ld-1.0"
+        try:
+            got = api.frame(case["input"], case["frame"], **kw)
+            if norm(got) == norm(case["output"]):
+                passed += 1
+            else:
+                failed += 1
+                failures.append((case["title"], "mismatch"))
+        except JsonLdError as e:
+            if case["exception"]:
+                passed += 1
+            else:
+                failed += 1
+                failures.append((case["title"], f"JsonLdError {e.code}"))
+        except Exception as e:
+            crashed += 1
+            failures.append((case["title"], f"CRASH {type(e).__name__}: {e}"))
+    total = passed + failed + crashed
+    detail = "\n".join(f"  - {t}: {w}" for t, w in failures[:30])
+    assert total >= 40, f"frame harvest found too few cases ({total})"
+    assert crashed == 0, f"frame: {crashed} crashes\n{detail}"
+    rate = passed / total
+    assert rate >= 0.90, (
+        f"frame pass rate {rate:.3f} (pass={passed} fail={failed} "
+        f"skip={skipped})\n{detail}"
+    )
