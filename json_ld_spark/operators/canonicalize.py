@@ -93,6 +93,9 @@ def minhash_candidate_pairs(
         Window.partitionBy("_band", "_bucket").orderBy("_id")
     )
     banded = banded.withColumn("_rn", w_bucket).filter(F.col("_rn") <= max_bucket)
+    # materialize before the self-join: the minhash signature pipeline
+    # would otherwise be computed once per join side
+    banded = banded.localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -105,7 +108,10 @@ def minhash_candidate_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates()
     )
-    return pairs
+    # materialize: downstream verify + connected-components each
+    # consume the pairs; without this the banded self-join re-runs per
+    # consumer (pairs are two longs per row — cheap to hold)
+    return pairs.localCheckpoint()
 
 
 def jaccard_filter(
@@ -117,11 +123,19 @@ def jaccard_filter(
     shingle: int = 3,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard (join back
-    the shingle sets, JVM array intersect/union)."""
+    the shingle sets, JVM array intersect/union).
+
+    Shingles are 64-bit hashes, not strings: the pair join shuffles two
+    shingle arrays per candidate, so 8-byte longs cut shuffle bytes ~3x
+    and intersect/union compares longs (collision probability over a
+    few hundred shingles is ~1e-14 — immaterial for dedup)."""
     sh = df.select(
         F.col(id_col).alias("_jid"),
-        F.array_distinct(char_shingles(F.col(text_col), shingle)).alias("_sh"),
-    )
+        F.array_distinct(
+            F.transform(char_shingles(F.col(text_col), shingle),
+                        lambda s: F.xxhash64(s))
+        ).alias("_sh"),
+    ).localCheckpoint()  # joined twice (id_a and id_b sides)
     out = (
         pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
         .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sb"), "id_b")

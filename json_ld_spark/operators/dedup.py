@@ -129,6 +129,9 @@ def simhash_neardup_pairs(
             )
         ).alias("_blk", "_key"),
     )
+    # materialize: the SimHash aggregate is the dominant cost and the
+    # self-join would otherwise evaluate it twice
+    blocked = blocked.localCheckpoint()
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
@@ -172,6 +175,9 @@ def ngram_jaccard_pairs(
         "_grams",
         F.array_min(F.transform("_grams", lambda s: F.md5(s))).alias("_blk"),
     )
+    # materialize before the self-join: otherwise the (expensive,
+    # interpreted) gram computation runs once per join side
+    g = g.localCheckpoint()
     a, b = g.alias("a"), g.alias("b")
     return (
         a.join(
@@ -204,7 +210,7 @@ def embedding_neardup_pairs(
     per-bucket, so cost is Σ bucket² not N²."""
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col(block_col).alias("_b")
-    )
+    ).localCheckpoint()
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id")))
