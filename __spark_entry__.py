@@ -329,6 +329,55 @@ def q_kg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples_to_documents(_triples(spark, sf_dir))
 
 
+def q_kg_node_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational fromRDF: triples → per-subject expanded node docs
+    (groupBy(graph,subj) reconstitution; no oracle: JSON text)."""
+    from json_ld_spark.operators.from_rdf_ops import triples_to_node_docs
+
+    return triples_to_node_docs(_triples(spark, sf_dir))
+
+
+def q_kg_frame_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framing as a distributed query: each conversation's triples
+    framed into one nested Conversation document (frame = the
+    reference's declarative query language, SURVEY §2.8; no oracle:
+    nested JSON-LD text is not SQL-expressible)."""
+    from json_ld_spark.operators.output_docs import frame_conversations
+
+    return frame_conversations(_triples(spark, sf_dir))
+
+
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_ld_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).select("doc_id")
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user (the classic
+    event-time window op a transcript pipeline needs)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet stores TIMESTAMP_NTZ; route through TIMESTAMP for epoch
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sess = ev.withColumn("_new", gap).withColumn(
+        "session_idx", F.sum("_new").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline at sf0.001."""
     return _triples(spark, SF_SMALL).select(
@@ -354,6 +403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kg_documents": q_kg_documents,
+        "kg_node_docs": q_kg_node_docs,
+        "kg_frame_conversations": q_kg_frame_conversations,
+        "dedup_keep": q_dedup_keep,
+        "events_sessionize": q_events_sessionize,
         "lineitem_agg": q_lineitem_agg,
         "revenue_by_nation": q_revenue_by_nation,
         "events_daily": q_events_daily,
@@ -599,6 +652,31 @@ def oracle_sql() -> dict[str, str]:
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1
+        """,
+        "dedup_keep": f"""
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
+          FROM documents
+        ) WHERE rn = 1
+        """,
+        "events_sessionize": """
+        WITH g AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT *, CAST(sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+            AS session_idx
+          FROM g
+        )
+        SELECT user_id, session_idx, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               round(sum(value), 2) AS session_value
+        FROM s GROUP BY 1, 2
         """,
         "events_daily": """
         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

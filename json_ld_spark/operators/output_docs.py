@@ -69,3 +69,64 @@ def triples_to_documents(triples: DataFrame) -> DataFrame:
     return valid.groupBy("conv_id").applyInPandas(
         _assemble, schema="conv_id string, doc_json string"
     )
+
+
+def frame_conversations(triples: DataFrame) -> DataFrame:
+    """(conv_id, framed_json): frame each conversation's triples into
+    one nested Conversation document — framing (the reference's
+    declarative query language, frame.rb:26-215) run distributed,
+    one frame evaluation per conversation group.
+
+    The frame matches the Conversation node and embeds its turns via
+    @reverse partOf, so the output nests turn → mention chains."""
+
+    def _frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        from json_ld_spark.core import api as core_api
+        from json_ld_spark.core.rdf import Term, Triple
+        from json_ld_spark.sources.gazetteer import CONV_NS, VOCAB
+
+        conv_id = pdf["conv_id"].iloc[0]
+        trs = []
+        for subj, pred, obj_value, obj_is_iri, obj_dt, obj_lang in zip(
+            pdf["subj"], pdf["pred"], pdf["obj_value"], pdf["obj_is_iri"],
+            pdf["obj_datatype"], pdf["obj_language"],
+        ):
+            s = (
+                Term("bnode", subj[2:])
+                if subj.startswith("_:")
+                else Term("iri", subj)
+            )
+            p = Term("iri", pred)
+            if obj_is_iri:
+                o = (
+                    Term("bnode", obj_value[2:])
+                    if obj_value.startswith("_:")
+                    else Term("iri", obj_value)
+                )
+            else:
+                o = Term(
+                    "literal", obj_value,
+                    obj_dt if pd.notna(obj_dt) else None,
+                    obj_lang if pd.notna(obj_lang) else None,
+                )
+            trs.append(Triple(s, p, o, None))
+        expanded = core_api.from_rdf(trs, use_native_types=True)
+        frame = {
+            "@context": {**KG_CONTEXT, "turns": {"@reverse": VOCAB + "partOf"}},
+            "@id": CONV_NS + conv_id,
+            "turns": {},
+        }
+        framed = core_api.frame(expanded, frame)
+        return pd.DataFrame(
+            {"conv_id": [conv_id],
+             "framed_json": [json.dumps(framed, sort_keys=True)]}
+        )
+
+    valid = (
+        triples.filter(triples["error_code"].isNull())
+        if "error_code" in triples.columns
+        else triples
+    )
+    return valid.groupBy("conv_id").applyInPandas(
+        _frame, schema="conv_id string, framed_json string"
+    )
