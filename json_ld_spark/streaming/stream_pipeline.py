@@ -77,3 +77,54 @@ def stream_turn_rate(
             F.approx_count_distinct("conv_id").alias("n_convs"),
         )
     )
+
+
+def stateful_turn_chain(
+    transcripts_stream: DataFrame,
+    timeout_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): resolve
+    nextTurn links ACROSS micro-batches.
+
+    The batch path gets nextTurn from a window over the whole
+    conversation; a stream only sees a prefix per batch. State keeps
+    each conversation's last-seen turn index, so when the next batch
+    delivers the following turn the link triple's (subj→obj) pair is
+    emitted here — closing the gap the plain foreachBatch path defers
+    to compaction. Idle conversations are GC'd by processing-time
+    timeout (the watermark story for state, applied to conversation
+    lifetime rather than event time).
+
+    Output: (conv_id, turn_idx, next_turn_idx) link rows, including
+    the cross-batch ones that the per-batch window cannot see.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "conv_id string, turn_idx int, next_turn_idx int"
+    state_schema = "last_turn_idx int"
+
+    def chain(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        (conv_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdf_iter:
+            for idx in sorted(int(x) for x in pdf["turn_idx"]):
+                if last is not None:
+                    rows.append((conv_id, last, idx))
+                last = idx
+        state.update((last,))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "next_turn_idx"])
+
+    return transcripts_stream.groupBy("conv_id").applyInPandasWithState(
+        chain,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

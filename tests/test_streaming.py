@@ -3,6 +3,7 @@ turn-rate aggregation."""
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 import tempfile
@@ -64,3 +65,66 @@ def test_stream_turn_rate(spark):
         assert {r["role"] for r in rows} <= {"user", "assistant", "tool"}
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stateful_turn_chain_links_across_batches(spark, tmp_path):
+    """applyInPandasWithState resolves nextTurn links that span
+    micro-batches: batch 1 delivers turns 0-1, batch 2 delivers turn 2;
+    the (1 → 2) link only exists because conversation state survived
+    between batches."""
+    import time
+
+    from json_ld_spark.streaming.stream_pipeline import (
+        read_transcript_stream,
+        stateful_turn_chain,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows_b1 = [
+        ("c1", 0, "user", "hi", None, datetime.datetime(2024, 1, 1, 0, 0)),
+        ("c1", 1, "assistant", "yo", None, datetime.datetime(2024, 1, 1, 0, 1)),
+        ("c2", 0, "user", "a", None, datetime.datetime(2024, 1, 1, 0, 0)),
+    ]
+    rows_b2 = [
+        ("c1", 2, "user", "more", None, datetime.datetime(2024, 1, 1, 0, 2)),
+        ("c2", 1, "assistant", "b", None, datetime.datetime(2024, 1, 1, 0, 3)),
+    ]
+    from json_ld_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    import glob
+    import time as _time
+
+    for i, rows in enumerate([rows_b1, rows_b2]):
+        staging = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(
+            str(staging)
+        )
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(in_dir / f"batch{i}.parquet")
+        shutil.copy(part, dest)
+        # the file source orders by modification time: stagger them
+        os.utime(dest, (1700000000 + i * 100, 1700000000 + i * 100))
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(in_dir))
+    )
+    links = stateful_turn_chain(stream)
+    q = (
+        links.writeStream.format("memory")
+        .queryName("turn_chain_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.conv_id, r.turn_idx, r.next_turn_idx)
+        for r in spark.sql("SELECT * FROM turn_chain_test").collect()
+    }
+    assert ("c1", 0, 1) in got
+    assert ("c1", 1, 2) in got, f"cross-batch link missing: {got}"
+    assert ("c2", 0, 1) in got
