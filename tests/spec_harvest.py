@@ -76,15 +76,21 @@ def harvest(spec_file: str) -> list[dict]:
         for m in re.finditer(r"it\((?:title|name)\)\s*\{[^\n]*", src)
     ]
     cases: list[dict] = []
-    # case keys appear as `'title' => {` (hash-rocket) or `'title': {`
-    # (quoted-symbol) depending on the spec file
-    for m in re.finditer(r"['\"]([^'\"\n]{1,160})['\"](?:\s*=>\s*|:\s*)\{", src):
+    # case keys appear as `'title' => {` (hash-rocket), `'title': {`
+    # (quoted symbol), bare symbols (`base: {`), or literals
+    # (`true => {`) depending on the spec file
+    for m in re.finditer(
+        r"(?:['\"]([^'\"\n]{1,160})['\"](?:\s*=>\s*|:\s*)"
+        r"|(\w[\w .-]{0,60}?):\s*"
+        r"|(true|false)\s*=>\s*)\{",
+        src,
+    ):
         block_end = _case_block(src, m.end() - 1)
         block = src[m.end() : block_end]
         if not re.search(r"input:\s*%\(", block):
             continue  # not a test-case hash (e.g. nested JSON object)
         case: dict = {
-            "title": m.group(1),
+            "title": m.group(1) or m.group(2) or m.group(3),
             "input": None,
             "output": None,
             "context": None,
