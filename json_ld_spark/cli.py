@@ -40,6 +40,7 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("input")
         sp.add_argument("--base", default=None)
         sp.add_argument("--ordered", action="store_true")
+        sp.add_argument("--rdfstar", action="store_true")
         if op == "flatten":
             sp.add_argument("--context", default=None)
         if op == "tordf":
@@ -72,7 +73,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "expand":
         out = api.expand(_read_json(args.input), base=args.base,
-                         ordered=args.ordered)
+                         ordered=args.ordered, rdfstar=args.rdfstar)
         print(json.dumps(out, indent=2))
     elif args.cmd == "compact":
         out = api.compact(_read_json(args.input), _read_json(args.context),
@@ -92,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
         triples = api.to_rdf(
             _read_json(args.input), base=args.base,
             produce_generalized_rdf=args.produce_generalized_rdf,
+            rdfstar=args.rdfstar,
         )
         for t in triples:
             print(triple_to_nquads(t))

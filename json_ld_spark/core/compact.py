@@ -117,9 +117,23 @@ def compact(
         expanded_value = element[expanded_property]
 
         if expanded_property in ("@id",):
-            cv = context.compact_iri(expanded_value)
+            vals = (
+                expanded_value
+                if isinstance(expanded_value, list)
+                else [expanded_value]
+            )
+            compacted_ids = [
+                # rdfstar embedded node compacts recursively
+                # (compact.rb:104-110)
+                compact(v, "@id", context, ordered, compact_arrays)
+                if isinstance(v, dict)
+                else context.compact_iri(v)
+                for v in vals
+            ]
             alias = context.compact_iri("@id", vocab=True)
-            result[alias] = cv
+            result[alias] = (
+                compacted_ids[0] if len(compacted_ids) == 1 else compacted_ids
+            )
             continue
         if expanded_property == "@type":
             types = (

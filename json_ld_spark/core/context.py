@@ -111,6 +111,7 @@ class Options:
         rdf_direction: Optional[str] = None,
         compact_arrays: bool = True,
         compact_to_relative: bool = True,
+        rdfstar: bool = False,
     ):
         self.base = base
         self.processing_mode = processing_mode
@@ -123,6 +124,7 @@ class Options:
         self.rdf_direction = rdf_direction
         self.compact_arrays = compact_arrays
         self.compact_to_relative = compact_to_relative
+        self.rdfstar = rdfstar
 
     def _dict_loader(self, url: str) -> Any:
         # https→http canonicalization parity: context.rb:297-298
@@ -806,8 +808,8 @@ class Context:
     ) -> Optional[str]:
         """Parity: context.rb:1410-1591 (condensed; same preference
         ordering as the spec's IRI Compaction algorithm)."""
-        if iri is None:
-            return None
+        if iri is None or not isinstance(iri, str):
+            return iri  # rdfstar embedded nodes pass through
         is_value = is_value_obj = isinstance(value, dict) and "@value" in value
         is_list = isinstance(value, dict) and "@list" in value
         is_graph = (

@@ -68,3 +68,5 @@ PROCESSING_MODE_CONFLICT = "processing mode conflict"
 PROTECTED_TERM_REDEFINITION = "protected term redefinition"
 INVALID_FRAME = "invalid frame"
 INVALID_EMBED_VALUE = "invalid @embed value"
+INVALID_ANNOTATION = "invalid annotation"
+INVALID_EMBEDDED_NODE = "invalid embedded node"

@@ -33,7 +33,7 @@ from json_ld_spark.core.keywords import (
 )
 
 # Value object may only contain these keys (expand.rb:12-17)
-_VALUE_KEYS = {"@direction", "@index", "@language", "@type", "@value"}
+_VALUE_KEYS = {"@annotation", "@direction", "@index", "@language", "@type", "@value"}
 
 
 def expand(
@@ -67,6 +67,14 @@ def expand(
             )
             is_list_container = td is not None and "@list" in td.container
             if is_list_container and isinstance(expanded_item, list):
+                if any(
+                    isinstance(n, dict) and "@annotation" in n
+                    for n in expanded_item
+                ):
+                    raise JsonLdError(
+                        err.INVALID_ANNOTATION,
+                        "a list element must not contain @annotation",
+                    )
                 expanded_item = {"@list": expanded_item}
             if isinstance(expanded_item, list):
                 result.extend(expanded_item)
@@ -173,6 +181,22 @@ def expand(
             return output["@set"]
         return output
 
+    # @annotation validation (expand.rb:192-205)
+    if output.get("@annotation"):
+        if not all(
+            isinstance(o, dict) and is_node_object(o) and "@id" not in o
+            for o in output["@annotation"]
+        ):
+            raise JsonLdError(
+                err.INVALID_ANNOTATION,
+                "@annotation must reference node objects without @id",
+            )
+        if (active_property or "@graph") in ("@graph", "@included"):
+            raise JsonLdError(
+                err.INVALID_ANNOTATION,
+                "@annotation must not be used on a top-level object",
+            )
+
     # drop {"@language": ...}-only (expand.rb:209)
     if set(output.keys()) == {"@language"}:
         return None
@@ -241,6 +265,14 @@ def _expand_object(
                 raise JsonLdError(err.COLLIDING_KEYWORDS, expanded_property)
 
             if expanded_property == "@id":
+                if context.options.rdfstar and active_property is not None \
+                        and context.expand_iri(
+                            active_property, vocab=True
+                        ) == "@annotation":
+                    raise JsonLdError(
+                        err.INVALID_ANNOTATION,
+                        "an annotation must not contain @id",
+                    )
                 if isinstance(value, str):
                     output["@id"] = context.expand_iri(
                         value, document_relative=True
@@ -254,6 +286,34 @@ def _expand_object(
                     ]
                 elif context.options.frame_expansion and value == {}:
                     output["@id"] = [{}]  # wildcard
+                elif context.options.rdfstar and isinstance(value, dict):
+                    # embedded (quoted) node (expand.rb:321-341)
+                    rei = expand(value, None, context, ordered, base_url)
+                    if isinstance(rei, list):
+                        rei = rei[0] if len(rei) == 1 else None
+                    if rei is None or not isinstance(rei, dict):
+                        raise JsonLdError(
+                            err.INVALID_EMBEDDED_NODE, repr(value)
+                        )
+                    if "@reverse" in rei:
+                        raise JsonLdError(
+                            err.INVALID_EMBEDDED_NODE,
+                            "embedded node with @reverse",
+                        )
+                    from json_ld_spark.core.to_rdf import (
+                        stream_expanded_to_rdf,
+                    )
+                    from json_ld_spark.core.keywords import BlankNodeNamer
+
+                    n_stmts = len(
+                        stream_expanded_to_rdf([rei], BlankNodeNamer())
+                    )
+                    if n_stmts != 1:
+                        raise JsonLdError(
+                            err.INVALID_EMBEDDED_NODE,
+                            f"embedded node with {n_stmts} statements",
+                        )
+                    output["@id"] = rei
                 else:
                     raise JsonLdError(err.INVALID_ID_VALUE, repr(value))
             elif expanded_property == "@included":
@@ -373,6 +433,15 @@ def _expand_object(
                     continue  # free-floating list
                 lst = expand(value, active_property, context, ordered, base_url)
                 lst = lst if isinstance(lst, list) else [lst]
+                # list elements must not carry @annotation
+                # (expand.rb:552-555)
+                if any(
+                    isinstance(n, dict) and "@annotation" in n for n in lst
+                ):
+                    raise JsonLdError(
+                        err.INVALID_ANNOTATION,
+                        "a list element must not contain @annotation",
+                    )
                 output["@list"] = [x for x in lst if x is not None]
             elif expanded_property == "@set":
                 output["@set"] = expand(
@@ -418,8 +487,12 @@ def _expand_object(
                     ev = expand(value, expanded_property, context, ordered, base_url)
                     output[expanded_property] = ev
             elif expanded_property == "@annotation":
-                # dropped without rdfstar support (expand.rb:617-619)
-                pass
+                # dropped unless rdfstar (expand.rb:617-623)
+                if context.options.rdfstar:
+                    ev = expand(value, "@annotation", context, ordered, base_url)
+                    output["@annotation"] = (
+                        ev if isinstance(ev, list) else [ev]
+                    )
             # unknown keyword-form keys already filtered
             continue
 

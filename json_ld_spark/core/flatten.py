@@ -43,6 +43,16 @@ def rename_bnodes(element: Any, namer: BlankNodeNamer) -> Any:
     return element
 
 
+def _subject_key(subject: Any) -> Any:
+    """Graph-map key for a subject id: embedded (dict) ids key by
+    canonical JSON (flatten.rb:102-106)."""
+    if isinstance(subject, dict):
+        from json_ld_spark.core.rdf import jcs_canonicalize
+
+        return jcs_canonicalize(subject)
+    return subject
+
+
 def create_node_map(
     element: Any,
     graph_map: dict[str, dict[str, dict]],
@@ -51,6 +61,7 @@ def create_node_map(
     active_property: Optional[str] = None,
     list_obj: Optional[dict] = None,
     namer: Optional[BlankNodeNamer] = None,
+    reverse: bool = False,
 ) -> None:
     """Populate ``graph_map`` from expanded ``element``.
 
@@ -62,13 +73,15 @@ def create_node_map(
         for item in element:
             create_node_map(
                 item, graph_map, active_graph, active_subject, active_property,
-                list_obj, namer,
+                list_obj, namer, reverse,
             )
         return
     assert isinstance(element, dict), f"expected dict, got {element!r}"
     graph = graph_map.setdefault(active_graph, {})
     subject_node = (
-        graph.get(active_subject) if isinstance(active_subject, str) else None
+        graph.get(_subject_key(active_subject))
+        if active_subject is not None
+        else None
     )
 
     # relabel bnode types, preserving string-vs-array shape
@@ -83,6 +96,19 @@ def create_node_map(
             element["@type"] = namer.get_name(types)
 
     if "@value" in element:
+        # rdfstar annotation on a value: reify (flatten.rb:60-82)
+        if "@annotation" in element:
+            annotations = element.pop("@annotation")
+            as_ = (
+                active_subject["@id"]
+                if isinstance(active_subject, dict) and set(active_subject) == {"@id"}
+                else active_subject
+            )
+            star_subject = {"@id": as_, active_property: [element]}
+            create_node_map(
+                [dict(a, **{"@id": star_subject}) for a in annotations],
+                graph_map, active_graph, None, None, None, namer,
+            )
         if list_obj is None:
             if subject_node is not None:
                 add_value(
@@ -110,15 +136,21 @@ def create_node_map(
 
     # node object
     element_id = element.pop("@id", None)
-    if element_id is None:
-        element_id = namer.get_name()
-    elif is_blank_node_id(element_id):
-        element_id = namer.get_name(element_id)
+    ser_id = element_id
+    if isinstance(element_id, dict):
+        # rdfstar embedded node: index the graph by canonical JSON
+        from json_ld_spark.core.rdf import jcs_canonicalize
 
-    node = graph.setdefault(element_id, {"@id": element_id})
+        ser_id = jcs_canonicalize(element_id)
+    elif element_id is None:
+        ser_id = element_id = namer.get_name()
+    elif is_blank_node_id(element_id):
+        ser_id = element_id = namer.get_name(element_id)
+
+    node = graph.setdefault(ser_id, {"@id": element_id})
 
     # subject as reverse-reference target (flatten.rb:112-127)
-    if isinstance(active_subject, dict):
+    if reverse:
         add_value(
             node, active_property, active_subject,
             property_is_array=True, allow_duplicate=False,
@@ -133,6 +165,20 @@ def create_node_map(
                 )
         else:
             list_obj["@list"].append(reference)
+
+    if "@annotation" in element:
+        # rdfstar annotation on a node reference (flatten.rb:129-151)
+        annotations = element.pop("@annotation")
+        as_ = (
+            active_subject["@id"]
+            if isinstance(active_subject, dict) and set(active_subject) == {"@id"}
+            else active_subject
+        )
+        star_subject = {"@id": as_, active_property: [{"@id": node["@id"]}]}
+        create_node_map(
+            [dict(a, **{"@id": star_subject}) for a in annotations],
+            graph_map, active_graph, None, None, None, namer,
+        )
 
     if "@type" in element:
         add_value(
@@ -153,7 +199,7 @@ def create_node_map(
             for value in values:
                 create_node_map(
                     value, graph_map, active_graph, referenced, prop,
-                    None, namer,
+                    None, namer, reverse=True,
                 )
 
     if "@graph" in element:
@@ -169,8 +215,6 @@ def create_node_map(
 
     for prop in sorted(element.keys()):
         value = element[prop]
-        if prop == "@annotation":
-            continue  # rdf-star reification is out of the MVP (SURVEY §2.4)
         if is_blank_node_id(prop):
             prop = namer.get_name(prop)
         node.setdefault(prop, [])

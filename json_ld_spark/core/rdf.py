@@ -32,6 +32,7 @@ from json_ld_spark.core.keywords import (
 IRI = "iri"
 BNODE = "bnode"
 LITERAL = "literal"
+QUOTED = "quoted"  # RDF-star quoted triple: value holds a Triple
 
 
 @dataclass(frozen=True)
@@ -73,6 +74,11 @@ def literal(value: str, datatype: Optional[str] = None, language: Optional[str] 
 def as_term(v: str) -> Term:
     """'_:x' → bnode else IRI. Parity: utils.rb:105-114."""
     return bnode(v) if v.startswith("_:") else iri(v)
+
+
+def quoted(t: "Triple") -> Term:
+    """RDF-star quoted-triple term (subject/object position)."""
+    return Term(QUOTED, t)
 
 
 # ---------------------------------------------------------------------------
@@ -231,6 +237,17 @@ def _escape(s: str) -> str:
 
 
 def term_to_nquads(t: Term) -> str:
+    if t.kind == QUOTED:
+        tr = t.value
+        return (
+            "<< "
+            + term_to_nquads(tr.subject)
+            + " "
+            + term_to_nquads(tr.predicate)
+            + " "
+            + term_to_nquads(tr.obj)
+            + " >>"
+        )
     if t.kind == IRI:
         return f"<{t.value}>"
     if t.kind == BNODE:
@@ -319,12 +336,12 @@ def _signature(t: Triple) -> tuple:
     def w(term: Optional[Term]):
         if term is None:
             return None
-        return ("?",) if term.kind == BNODE else (
-            term.kind,
-            term.value,
-            term.datatype,
-            term.language,
-        )
+        if term.kind == BNODE:
+            return ("?",)
+        if term.kind == QUOTED:
+            tr = term.value
+            return ("Q", w(tr.subject), w(tr.predicate), w(tr.obj))
+        return (term.kind, term.value, term.datatype, term.language)
 
     return (w(t.subject), w(t.predicate), w(t.obj), w(t.graph))
 
@@ -344,8 +361,27 @@ def isomorphic(a: Iterable[Triple], b: Iterable[Triple], max_bnodes: int = 8) ->
 
     if Counter(_signature(t) for t in a) != Counter(_signature(t) for t in b):
         return False
-    a_bn = sorted({t.value for tr in a for t in (tr.subject, tr.obj, tr.graph or tr.subject) if t.kind == BNODE})
-    b_bn = sorted({t.value for tr in b for t in (tr.subject, tr.obj, tr.graph or tr.subject) if t.kind == BNODE})
+    def _bnodes_of(triples):
+        out = set()
+
+        def visit(term):
+            if term is None:
+                return
+            if term.kind == BNODE:
+                out.add(term.value)
+            elif term.kind == QUOTED:
+                tr = term.value
+                visit(tr.subject)
+                visit(tr.obj)
+
+        for tr in triples:
+            visit(tr.subject)
+            visit(tr.obj)
+            visit(tr.graph)
+        return out
+
+    a_bn = sorted(_bnodes_of(a))
+    b_bn = sorted(_bnodes_of(b))
     if len(a_bn) != len(b_bn):
         return False
     if not a_bn:
@@ -358,9 +394,13 @@ def isomorphic(a: Iterable[Triple], b: Iterable[Triple], max_bnodes: int = 8) ->
 
     def rename(tr: Triple, mapping: dict[str, str]) -> Triple:
         def m(term: Optional[Term]):
-            if term is None or term.kind != BNODE:
+            if term is None:
                 return term
-            return Term(BNODE, mapping[term.value])
+            if term.kind == BNODE:
+                return Term(BNODE, mapping[term.value])
+            if term.kind == QUOTED:
+                return Term(QUOTED, rename(term.value, mapping))
+            return term
 
         return Triple(m(tr.subject), tr.predicate, m(tr.obj), m(tr.graph))
 

@@ -29,6 +29,7 @@ from json_ld_spark.core.keywords import (
     is_value_object,
 )
 from json_ld_spark.core.rdf import (
+    QUOTED,
     Term,
     Triple,
     as_term,
@@ -39,6 +40,8 @@ from json_ld_spark.core.rdf import (
 
 
 def _valid_subject(t: Term) -> bool:
+    if t.kind == QUOTED:
+        return True  # embedded statements validated at expansion
     return t.kind == "bnode" or (t.kind == "iri" and is_absolute_iri(t.value))
 
 
@@ -85,7 +88,21 @@ def _subject_term(node: dict, namer: BlankNodeNamer) -> Term:
     sid = node.get("@id")
     if sid is None:
         return bnode(namer.get_name())
+    if isinstance(sid, dict):
+        return _quoted_term(sid, namer)
     return as_term(sid)
+
+
+def _quoted_term(embedded: dict, namer: BlankNodeNamer,
+                 rdf_direction: "Optional[str]" = None) -> Term:
+    """Embedded node → RDF-star quoted-triple term (its single
+    statement; cardinality was validated during expansion,
+    to_rdf.rb:89-92)."""
+    first = next(iter(_node_to_rdf(embedded, namer, rdf_direction)), None)
+    if first is None:
+        raise ValueError(f"embedded node emits no statement: {embedded!r}")
+    s, p, o = first
+    return Term(QUOTED, Triple(s, p, o, None))
 
 
 def _node_to_rdf(
@@ -149,6 +166,8 @@ def _object_term(
         sid = value.get("@id")
         if sid is None:
             return bnode(namer.get_name()), []
+        if isinstance(sid, dict):
+            return _quoted_term(sid, namer, rdf_direction), []
         if not (is_blank_node_id(sid) or is_absolute_iri(sid)):
             return None  # relative IRIs don't survive toRDF
         return as_term(sid), []
@@ -176,6 +195,11 @@ def stream_expanded_to_rdf(
 
     This is the Spark UDF hot path: one traversal instead of three
     (~30% of per-document CPU at the measured profile).
+
+    RDF-star: embedded @id subjects/objects emit quoted-triple terms;
+    @annotation reification is a node-map concern (flatten.rb:60-151)
+    and is NOT performed here — use the node-map path (api.to_rdf)
+    for annotated documents. Pipeline turn docs carry no annotations.
     """
     out: list[Triple] = []
     for element in expanded:
@@ -189,6 +213,8 @@ def _stream_subject(element: dict, namer: BlankNodeNamer) -> Term:
     sid = element.get("@id")
     if sid is None:
         return as_term(namer.get_name())
+    if isinstance(sid, dict):
+        return _quoted_term(sid, namer)
     if isinstance(sid, str) and is_blank_node_id(sid):
         return as_term(namer.get_name(sid))
     return as_term(sid)  # relative IRIs filtered at emit time

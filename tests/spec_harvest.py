@@ -137,7 +137,7 @@ def harvest(spec_file: str) -> list[dict]:
         if _UNSUPPORTED_CASE_OPTS.search(ruby_only):
             case["unsupported"] = True
         if re.search(r"rdfstar:\s*true", ruby_only):
-            case["unsupported"] = True
+            case["ruby_opts"]["rdfstar"] = True
         # group runner applying to this case: first it(title) AFTER it
         for pos, line in runners:
             if pos > block_end:
@@ -147,8 +147,10 @@ def harvest(spec_file: str) -> list[dict]:
                 gp = re.search(r"processingMode:\s*[\"']([^\"']+)[\"']", line)
                 if gp and case["processing_mode"] is None:
                     case["processing_mode"] = gp.group(1)
-                if re.search(r"rdfstar|validate|write:|library|StringIO", line):
+                if re.search(r"validate|write:|library|StringIO", line):
                     case["unsupported"] = True
+                if "rdfstar" in line:
+                    case["ruby_opts"]["rdfstar"] = True
                 break
         cases.append(case)
     return cases

@@ -69,6 +69,8 @@ def _opts(case):
         kw["base"] = case["base"]
     if case["processing_mode"]:
         kw["processing_mode"] = case["processing_mode"]
+    if (case.get("ruby_opts") or {}).get("rdfstar"):
+        kw["rdfstar"] = True
     return kw
 
 
@@ -81,7 +83,7 @@ def test_expand_spec_suite():
             return None
         return norm(got) == norm(case["output"])
 
-    _run_suite("expand_spec.rb", run, floor=0.99)
+    _run_suite("expand_spec.rb", run, floor=0.995)
 
 
 def test_compact_spec_suite():
@@ -96,7 +98,7 @@ def test_compact_spec_suite():
             return None
         return norm(got) == norm(case["output"])
 
-    _run_suite("compact_spec.rb", run, floor=0.97)
+    _run_suite("compact_spec.rb", run, floor=0.98)
 
 
 def test_flatten_spec_suite():
