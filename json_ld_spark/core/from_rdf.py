@@ -42,10 +42,37 @@ def _term_id(t: Term) -> str:
     return ("_:" + t.value) if t.kind == "bnode" else t.value
 
 
+def _quoted_repr(t: Term, use_native_types: bool,
+                 rdf_direction: Optional[str]) -> dict:
+    """Quoted-triple term → embedded node dict (from_rdf.rb:51,66 via
+    resource_representation on RDF-star statements)."""
+    tr = t.value
+    subj = (
+        _quoted_repr(tr.subject, use_native_types, rdf_direction)
+        if tr.subject.kind == "quoted"
+        else _term_id(tr.subject)
+    )
+    obj = resource_representation(tr.obj, use_native_types, rdf_direction)
+    return {"@id": subj, _term_id(tr.predicate): [obj]}
+
+
+def _subject_key(t: Term, use_native_types: bool,
+                 rdf_direction: Optional[str]):
+    """(node-map key, @id value) for a subject/object term."""
+    from json_ld_spark.core.rdf import jcs_canonicalize
+
+    if t.kind == "quoted":
+        rep = _quoted_repr(t, use_native_types, rdf_direction)
+        return jcs_canonicalize(rep), rep
+    return _term_id(t), _term_id(t)
+
+
 def resource_representation(
     t: Term, use_native_types: bool, rdf_direction: Optional[str]
 ) -> dict:
     """Term → JSON object. Parity: from_rdf.rb:194-251."""
+    if t.kind == "quoted":
+        return {"@id": _quoted_repr(t, use_native_types, rdf_direction)}
     if t.kind != "literal":
         return {"@id": _term_id(t)}
     dt = t.datatype or XSD_STRING
@@ -109,11 +136,12 @@ def from_rdf(
         node_map = graph_map.setdefault(graph_name, {})
         if graph_name != "@default":
             default_graph.setdefault(graph_name, {"@id": graph_name})
-        sid = _term_id(t.subject)
+        sid, sid_val = _subject_key(t.subject, use_native_types, rdf_direction)
         pid = _term_id(t.predicate)
-        node = node_map.setdefault(sid, {"@id": sid})
+        node = node_map.setdefault(sid, {"@id": sid_val})
         if t.obj.kind != "literal":
-            node_map.setdefault(_term_id(t.obj), {"@id": _term_id(t.obj)})
+            okey, oval = _subject_key(t.obj, use_native_types, rdf_direction)
+            node_map.setdefault(okey, {"@id": oval})
         if pid == RDF_TYPE and t.obj.kind != "literal" and not use_rdf_type:
             types = node.setdefault("@type", [])
             if _term_id(t.obj) not in types:

@@ -305,11 +305,49 @@ def parse_nquads_term(s: str) -> Term:
     return Term(LITERAL, value, m.group(3) or XSD_STRING, None)
 
 
+_NQ_STAR_TOKEN = re.compile(
+    r'<<|>>|<[^>]*>|_:[^\s]+'
+    r'|"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9\-]+|\^\^<[^>]*>)?|\.'
+)
+
+
+def _parse_nq_star_line(line: str) -> Triple:
+    """N-Quads-star line with << s p o >> quoted-triple terms."""
+    toks = _NQ_STAR_TOKEN.findall(line)
+    pos = 0
+
+    def parse_term() -> Term:
+        nonlocal pos
+        t = toks[pos]
+        if t == "<<":
+            pos += 1
+            s = parse_term()
+            p = parse_term()
+            o = parse_term()
+            if toks[pos] != ">>":
+                raise ValueError(f"unterminated quoted triple: {line!r}")
+            pos += 1
+            return Term(QUOTED, Triple(s, p, o, None))
+        pos += 1
+        return parse_nquads_term(t)
+
+    s = parse_term()
+    p = parse_term()
+    o = parse_term()
+    g = None
+    if pos < len(toks) and toks[pos] != ".":
+        g = parse_term()
+    return Triple(s, p, o, g)
+
+
 def parse_nquads(text: str) -> list[Triple]:
     out = []
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
+            continue
+        if line.startswith("<<") or " << " in line:
+            out.append(_parse_nq_star_line(line))
             continue
         m = _NQ_RE.match(line)
         if not m:
