@@ -28,6 +28,12 @@ import sys
 
 def _read_json(path: str):
     with open(path) as f:
+        if path.endswith((".html", ".htm")):
+            # HTML input: extract the JSON-LD script(s) (api.rb:766-887)
+            from json_ld_spark.core.html import extract_jsonld
+
+            doc, _base = extract_jsonld(f.read())
+            return doc
         return json.load(f)
 
 

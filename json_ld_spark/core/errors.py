@@ -70,3 +70,4 @@ INVALID_FRAME = "invalid frame"
 INVALID_EMBED_VALUE = "invalid @embed value"
 INVALID_ANNOTATION = "invalid annotation"
 INVALID_EMBEDDED_NODE = "invalid embedded node"
+INVALID_SCRIPT_ELEMENT = "invalid script element"
