@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("fromrdf")
     sp.add_argument("input", help="N-Quads file")
     sp.add_argument("--use-native-types", action="store_true")
+    sp.add_argument("--stream", action="store_true",
+                    help="incremental streaming writer (constant memory)")
+    sp.add_argument("--context", default=None,
+                    help="compact each node with this context (--stream)")
 
     sp = sub.add_parser("pipeline")
     sp.add_argument("--input", required=True, help="transcripts parquet path")
@@ -103,6 +107,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         for t in triples:
             print(triple_to_nquads(t))
+    elif args.cmd == "fromrdf" and getattr(args, "stream", False):
+        from json_ld_spark.core.rdf import parse_nquads
+        from json_ld_spark.core.streaming_writer import stream_write_jsonld
+
+        with open(args.input) as f:
+            triples = parse_nquads(f.read())
+        ctx = _read_json(args.context) if args.context else None
+        if isinstance(ctx, dict) and "@context" in ctx:
+            ctx = ctx["@context"]
+        for chunk in stream_write_jsonld(triples, context=ctx):
+            sys.stdout.write(chunk)
+        sys.stdout.write("\n")
     elif args.cmd == "fromrdf":
         from json_ld_spark.core.rdf import parse_nquads
 
