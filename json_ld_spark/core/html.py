@@ -119,3 +119,15 @@ def extract_jsonld(
     if not ld_scripts:
         raise JsonLdError(err.LOADING_DOCUMENT_FAILED, "no script tag found")
     return _load_script(ld_scripts[0]["content"]), base
+
+
+def detect_jsonld(sample: str) -> bool:
+    """Format sniffing: does a text sample look like JSON-LD?
+
+    Parity: Format.detect (format.rb:43-47): a `{"@id|@context|@type"`
+    pattern, excluding CSVW metadata documents."""
+    import re as _re
+
+    return bool(
+        _re.search(r'\{\s*"@(id|context|type)"', sample, _re.S)
+    ) and "http://www.w3.org/ns/csvw" not in sample

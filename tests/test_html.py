@@ -67,3 +67,13 @@ def test_spark_html_extraction(spark):
     assert json.loads(by_doc[1][0].doc_json)["@id"] == "http://ex.org/a"
     assert 2 not in by_doc  # JVM prefilter dropped the scriptless page
     assert by_doc[3][0].error_code == "invalid script element"
+
+
+def test_detect_jsonld():
+    from json_ld_spark.core.html import detect_jsonld
+
+    assert detect_jsonld('{"@context": {"x": "http://e/"}}')
+    assert detect_jsonld('\n{ "@type": "T"}')
+    assert not detect_jsonld('{"plain": "json"}')
+    # CSVW metadata excluded (format.rb:46)
+    assert not detect_jsonld('{"@context": "http://www.w3.org/ns/csvw"}')
