@@ -31,9 +31,14 @@ def main() -> None:
     n_turns = transcripts.count()
 
     valid_triples(emit_triples(transcripts)).count()  # warmup
-    t0 = time.time()
-    n_triples = valid_triples(emit_triples(transcripts)).count()
-    wall = time.time() - t0
+    # best-of-3: the sandbox VM sees host-level steal (load average >3
+    # with no runnable process); min wall is the steal-free estimate
+    wall = float("inf")
+    n_triples = 0
+    for _ in range(3):
+        t0 = time.time()
+        n_triples = valid_triples(emit_triples(transcripts)).count()
+        wall = min(wall, time.time() - t0)
     spark.stop()
 
     print(
