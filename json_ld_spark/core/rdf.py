@@ -57,8 +57,19 @@ class Triple:
     graph: Optional[Term] = None  # None = default graph
 
 
+_IRI_INTERN: dict = {}
+
+
 def iri(v: str) -> Term:
-    return Term(IRI, v)
+    # predicates/types repeat across millions of documents; interning
+    # skips dataclass construction on the hot path (Term is frozen)
+    t = _IRI_INTERN.get(v)
+    if t is None:
+        if len(_IRI_INTERN) >= 4096:
+            _IRI_INTERN.clear()
+        t = Term(IRI, v)
+        _IRI_INTERN[v] = t
+    return t
 
 
 def bnode(v: str) -> Term:
