@@ -104,12 +104,16 @@ def flatten(
     document: Any,
     ctx: Any = None,
     options: Optional[Options] = None,
+    create_annotations: bool = False,
     **kwargs,
 ) -> Any:
     """Flatten a document. Parity: api.rb:290-352."""
     options = _make_options(options, **kwargs)
     expanded = expand(document, options)
-    flattened = flatten_mod.flatten_expanded(expanded, ordered=options.ordered)
+    flattened = flatten_mod.flatten_expanded(
+        expanded, ordered=options.ordered,
+        create_annotations_flag=create_annotations,
+    )
     if ctx is None:
         return flattened
     return compact(flattened, ctx, options, expanded_input=True)

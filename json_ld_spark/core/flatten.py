@@ -245,7 +245,9 @@ def merge_node_map_graphs(graph_map: dict[str, dict[str, dict]]) -> dict[str, di
 
 
 def flatten_expanded(
-    expanded: list, ordered: bool = False, namer: Optional[BlankNodeNamer] = None
+    expanded: list, ordered: bool = False,
+    namer: Optional[BlankNodeNamer] = None,
+    create_annotations_flag: bool = False,
 ) -> list:
     """Expanded document → flattened array (default graph with named
     graphs nested under their graph-name node).
@@ -256,6 +258,12 @@ def flatten_expanded(
     renamed = rename_bnodes(expanded, namer)
     graph_map: dict[str, dict[str, dict]] = {"@default": {}}
     create_node_map(renamed, graph_map, namer=namer)
+
+    # rdfstar: fold reified statements back to @annotation, only under
+    # the createAnnotations option (api.rb:319-323)
+    if create_annotations_flag:
+        for node_map in graph_map.values():
+            create_annotations(node_map)
 
     default_graph = graph_map["@default"]
     for graph_name in sorted(k for k in graph_map if k != "@default"):
@@ -272,3 +280,42 @@ def flatten_expanded(
         if not (set(node.keys()) <= {"@id"})
     ]
     return flattened
+
+
+def create_annotations(node_map: dict) -> None:
+    """Fold reified rdfstar statements back into ``@annotation`` on the
+    host value. Parity: create_annotations, flatten.rb:216-246.
+
+    Reified entries are keyed by canonical JSON ('{'-prefixed); longest
+    keys first so nested annotations fold inside-out."""
+    from json_ld_spark.core.rdf import jcs_canonicalize
+
+    keys = sorted(
+        (k for k in node_map if isinstance(k, str) and k.startswith("{")),
+        key=len, reverse=True,
+    )
+    for key in keys:
+        annotation = node_map[key]
+        emb = dict(annotation.get("@id") or {})
+        if not emb:
+            continue
+        host_id = emb.pop("@id", None)
+        if not emb:
+            continue
+        prop, value = next(iter(emb.items()))
+        if isinstance(host_id, dict):
+            host_id = jcs_canonicalize(host_id)
+        if host_id not in node_map:
+            continue
+        node = node_map[host_id]
+        if prop not in node:
+            continue
+        for emb_value in node[prop]:
+            if emb_value == value[0]:
+                del node_map[key]
+                ann = {k: v for k, v in annotation.items() if k != "@id"}
+                if ann:
+                    add_value(
+                        emb_value, "@annotation", ann, property_is_array=True
+                    )
+                break

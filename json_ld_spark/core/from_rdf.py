@@ -217,6 +217,12 @@ def from_rdf(
                 node_map.pop(nid, None)
         nil_node.pop("usages", None)
 
+    # fold rdfstar reifications back into @annotation (from_rdf.rb:169)
+    from json_ld_spark.core.flatten import create_annotations
+
+    for node_map in graph_map.values():
+        create_annotations(node_map)
+
     result = []
     for sid in sorted(default_graph.keys()) if ordered else default_graph.keys():
         node = default_graph[sid]

@@ -94,3 +94,30 @@ def test_star_validation_errors(doc, code):
     with pytest.raises(JsonLdError) as e:
         api.to_rdf(doc, rdfstar=True)
     assert e.value.code == code, f"got {e.value.code}"
+
+
+def test_from_rdf_folds_annotations_back():
+    """create_annotations (flatten.rb:216-246): the fromRDF of an
+    annotated graph nests @annotation instead of a separate reified
+    node."""
+    doc = {
+        "@id": E + "bob",
+        E + "knows": {"@id": E + "fred", "@annotation": {E + "certainty": 0.8}},
+    }
+    triples = api.to_rdf(doc, rdfstar=True)
+    back = api.from_rdf(triples, use_native_types=True)
+    assert len(back) == 1, back
+    val = back[0][E + "knows"][0]
+    assert val["@id"] == E + "fred"
+    assert val["@annotation"][0][E + "certainty"] == [{"@value": 0.8}]
+    assert isomorphic(triples, api.to_rdf(back, rdfstar=True))
+
+
+def test_flatten_folds_annotations():
+    doc = {
+        "@id": E + "bob",
+        E + "knows": {"@id": E + "fred", "@annotation": {E + "certainty": 0.8}},
+    }
+    flat = api.flatten(doc, rdfstar=True, create_annotations=True)
+    hosts = [n for n in flat if n.get("@id") == E + "bob"]
+    assert hosts and "@annotation" in hosts[0][E + "knows"][0]
