@@ -20,6 +20,7 @@ network fetching is intentionally absent.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 from functools import lru_cache
 from typing import Any, Callable, Optional
@@ -1041,3 +1042,66 @@ def parse_context_cached(
     return _cached_parse(
         json.dumps(context, sort_keys=True, separators=(",", ":")), base, mode
     )
+
+
+RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
+SCHEMA_RANGE_INCLUDES = "http://schema.org/rangeIncludes"
+RDFS_LITERAL = "http://www.w3.org/2000/01/rdf-schema#Literal"
+SCHEMA_TEXT = "http://schema.org/Text"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_SCHEMA = "http://schema.org/"
+_DATATYPE_RANGES = frozenset({
+    _XSD + "boolean", _SCHEMA + "Boolean", _XSD + "date", _SCHEMA + "Date",
+    _XSD + "dateTime", _SCHEMA + "DateTime", _XSD + "time", _SCHEMA + "Time",
+    _XSD + "duration", _SCHEMA + "Duration", _XSD + "decimal",
+    _SCHEMA + "Number", _XSD + "float", _SCHEMA + "Float",
+    _XSD + "integer", _SCHEMA + "Integer",
+})
+
+
+def from_vocabulary(triples, vocab: Optional[str] = None,
+                    default_language: Optional[str] = None) -> Context:
+    """Build a Context from an RDF vocabulary graph (a triple list).
+
+    Parity: Context#from_vocabulary, context.rb:1060-1120: one term
+    per class/property (last path segment of its IRI); properties with
+    an object range coerce @id, datatype ranges coerce that datatype,
+    literal/text ranges are skipped under a vocabulary mapping.
+    """
+    ctx = Context(Options())
+    ctx.vocab = vocab
+    ctx.default_language = default_language
+    statements: dict[str, list] = {}
+    ranges: dict[str, list[str]] = {}
+    for t in triples:
+        if t.subject.kind == "bnode":
+            continue
+        sid = t.subject.value
+        statements.setdefault(sid, []).append(t)
+        if t.predicate.value in (RDFS_RANGE, SCHEMA_RANGE_INCLUDES):
+            ranges.setdefault(sid, []).append(t.obj.value)
+    for sid, values in statements.items():
+        types = [t.obj.value for t in values if t.predicate.value == _RDF_TYPE]
+        is_property = any("Property" in t for t in types)
+        term = re.split(r"[/#]", sid)[-1]
+        if is_property:
+            prop_ranges = ranges.get(sid, [])
+            if (vocab and not prop_ranges) or SCHEMA_TEXT in prop_ranges \
+                    or RDFS_LITERAL in prop_ranges:
+                continue
+            td = TermDefinition(term, iri=sid)
+            r = prop_ranges[0] if prop_ranges else None
+            if r == _XSD + "string":
+                if default_language:
+                    td.language = None  # explicit null
+            elif r in _DATATYPE_RANGES:
+                td.type_mapping = r
+            else:
+                td.type_mapping = "@id"
+            ctx.terms[term] = td
+        else:
+            if vocab and sid.startswith(vocab):
+                continue
+            ctx.terms[term] = TermDefinition(term, iri=sid)
+    return ctx

@@ -483,3 +483,36 @@ def test_error_codes(doc, code):
     with pytest.raises(JsonLdError) as exc_info:
         api.to_rdf(doc)
     assert exc_info.value.code == code
+
+
+def test_from_vocabulary():
+    """Context#from_vocabulary parity (context.rb:1060-1120)."""
+    from json_ld_spark.core.context import from_vocabulary
+    from json_ld_spark.core.rdf import parse_nquads
+
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    nq = f"""
+<http://v/#Person> <{RDF_T}type> <{RDFS}Class> .
+<http://v/#knows> <{RDF_T}type> <{RDF_T}Property> .
+<http://v/#knows> <{RDFS}range> <http://v/#Person> .
+<http://v/#age> <{RDF_T}type> <{RDF_T}Property> .
+<http://v/#age> <{RDFS}range> <http://www.w3.org/2001/XMLSchema#integer> .
+<http://v/#bio> <{RDF_T}type> <{RDF_T}Property> .
+<http://v/#bio> <{RDFS}range> <{RDFS}Literal> .
+"""
+    ctx = from_vocabulary(parse_nquads(nq))
+    assert ctx.terms["knows"].type_mapping == "@id"
+    assert ctx.terms["age"].type_mapping.endswith("integer")
+    assert "bio" not in ctx.terms  # literal range skipped
+    assert ctx.terms["Person"].iri == "http://v/#Person"
+    # the generated context actually drives expansion (importlib: the
+    # package re-exports an `expand` FUNCTION that shadows the module)
+    import importlib
+
+    em = importlib.import_module("json_ld_spark.core.expand")
+    out = em.expand({"@id": "http://e/a", "knows": "http://e/b", "age": 41},
+                    None, ctx)
+    node = out[0]
+    assert node["http://v/#knows"] == [{"@id": "http://e/b"}]
+    assert node["http://v/#age"] == [{"@value": 41}]
