@@ -513,6 +513,6 @@ def test_from_vocabulary():
     em = importlib.import_module("json_ld_spark.core.expand")
     out = em.expand({"@id": "http://e/a", "knows": "http://e/b", "age": 41},
                     None, ctx)
-    node = out[0]
+    node = out[0] if isinstance(out, list) else out
     assert node["http://v/#knows"] == [{"@id": "http://e/b"}]
     assert node["http://v/#age"] == [{"@value": 41}]
