@@ -515,4 +515,6 @@ def test_from_vocabulary():
                     None, ctx)
     node = out[0] if isinstance(out, list) else out
     assert node["http://v/#knows"] == [{"@id": "http://e/b"}]
-    assert node["http://v/#age"] == [{"@value": 41}]
+    assert node["http://v/#age"] == [
+        {"@value": 41, "@type": "http://www.w3.org/2001/XMLSchema#integer"}
+    ]
