@@ -232,8 +232,13 @@ def frame(document: Any, frame_doc: Any, options: Optional[Options] = None,
         require_all=require_all, omit_default=omit_default,
     )
     results: list = []
+    subjects = (
+        sorted(state.subjects.keys())
+        if options.ordered
+        else list(state.subjects.keys())
+    )
     frame_mod.frame_node(
-        state, sorted(state.subjects.keys()),
+        state, subjects,
         [expanded_frame[0] if expanded_frame else {}], results, None,
         ordered=options.ordered,
     )

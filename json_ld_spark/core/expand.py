@@ -235,7 +235,10 @@ def _expand_object(
         if isinstance(tv, str):
             input_type = context.expand_iri(tv, vocab=True)
 
-    keys = sorted(element.keys()) if True else list(element.keys())
+    # document order unless ordered (expand.rb:258): insertion order
+    # decides node-map order downstream, which decides @embed:@once
+    # winners in framing
+    keys = sorted(element.keys()) if ordered else list(element.keys())
     for key in keys:
         if key == "@context":
             continue

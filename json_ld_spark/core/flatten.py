@@ -213,7 +213,9 @@ def create_node_map(
             namer,
         )
 
-    for prop in sorted(element.keys()):
+    # insertion (document) order — flatten.rb:189 `each_key`; node-map
+    # insertion order drives framing's @embed:@once winners
+    for prop in list(element.keys()):
         value = element[prop]
         if is_blank_node_id(prop):
             prop = namer.get_name(prop)
@@ -226,8 +228,10 @@ def create_node_map(
 def merge_node_map_graphs(graph_map: dict[str, dict[str, dict]]) -> dict[str, dict]:
     """Union all graphs into @merged. Parity: flatten.rb:274-296."""
     merged: dict[str, dict] = {}
-    for _graph, nodes in sorted(graph_map.items()):
-        for sid, node in sorted(nodes.items()):
+    # insertion order (flatten.rb:276-277 `each`): merged-graph node
+    # order feeds framing's match iteration
+    for _graph, nodes in graph_map.items():
+        for sid, node in nodes.items():
             merged_node = merged.setdefault(sid, {"@id": sid})
             for prop, values in node.items():
                 if prop == "@id":

@@ -325,7 +325,9 @@ def frame_node(state: FrameState, subjects: list[str], frame: Any,
     link = state.link.setdefault(state.graph, {})
     matches = filter_subjects(state, subjects, frame, flags)
 
-    for sid in sorted(matches.keys()):
+    # opt_sort semantics (extensions.rb:46-53): insertion order unless
+    # ordered — the order decides which occurrence wins @embed:@once
+    for sid in (sorted(matches) if ordered else matches):
         subject = matches[sid]
         # top-level matches are compartmentalized (frame.rb:49-54)
         if property is None:
@@ -387,7 +389,7 @@ def frame_node(state: FrameState, subjects: list[str], frame: Any,
             frame_node(state.with_(embedded=False), subjects,
                        frame["@included"], output, "@included", ordered)
 
-        for prop in sorted(subject.keys()):
+        for prop in (sorted(subject.keys()) if ordered else subject.keys()):
             objects = subject[prop]
             if prop.startswith("@"):
                 output[prop] = _copy.deepcopy(objects)
@@ -422,7 +424,7 @@ def frame_node(state: FrameState, subjects: list[str], frame: Any,
                         add_frame_output(output, prop, _copy.deepcopy(o))
 
         # defaults (frame.rb:179-193)
-        for prop in sorted(frame.keys()):
+        for prop in (sorted(frame.keys()) if ordered else frame.keys()):
             fv = frame[prop]
             if (
                 prop == "@type"

@@ -151,6 +151,13 @@ def harvest(spec_file: str) -> list[dict]:
                     case["unsupported"] = True
                 if "rdfstar" in line:
                     case["ruby_opts"]["rdfstar"] = True
+                for opt, name in (
+                    ("pruneBlankNodeIdentifiers", "prune_blank_node_identifiers"),
+                    ("omitGraph", "omit_graph"),
+                ):
+                    om = re.search(rf"{opt}:\s*(true|false)", line)
+                    if om and name not in case["ruby_opts"]:
+                        case["ruby_opts"][name] = om.group(1) == "true"
                 break
         cases.append(case)
     return cases

@@ -219,7 +219,7 @@ def test_frame_spec_suite():
     assert total >= 40, f"frame harvest found too few cases ({total})"
     assert crashed == 0, f"frame: {crashed} crashes\n{detail}"
     rate = passed / total
-    assert rate >= 0.90, (
+    assert rate >= 0.98, (
         f"frame pass rate {rate:.3f} (pass={passed} fail={failed} "
         f"skip={skipped})\n{detail}"
     )
