@@ -91,7 +91,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(out, indent=2))
     elif args.cmd == "flatten":
         ctx = _read_json(args.context) if args.context else None
-        out = api.flatten(_read_json(args.input), ctx, base=args.base)
+        out = api.flatten(_read_json(args.input), ctx, base=args.base,
+                          ordered=args.ordered, rdfstar=args.rdfstar)
         print(json.dumps(out, indent=2))
     elif args.cmd == "frame":
         out = api.frame(_read_json(args.input), _read_json(args.frame),

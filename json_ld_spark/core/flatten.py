@@ -174,7 +174,12 @@ def create_node_map(
             if isinstance(active_subject, dict) and set(active_subject) == {"@id"}
             else active_subject
         )
-        star_subject = {"@id": as_, active_property: [{"@id": node["@id"]}]}
+        if reverse:
+            # the annotated statement runs node → property → subject
+            # (flatten.rb:137-139)
+            star_subject = {"@id": node["@id"], active_property: [{"@id": as_}]}
+        else:
+            star_subject = {"@id": as_, active_property: [{"@id": node["@id"]}]}
         create_node_map(
             [dict(a, **{"@id": star_subject}) for a in annotations],
             graph_map, active_graph, None, None, None, namer,

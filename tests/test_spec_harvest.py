@@ -110,7 +110,7 @@ def test_flatten_spec_suite():
             return None
         return norm(got) == norm(case["output"])
 
-    _run_suite("flatten_spec.rb", run, floor=0.93)
+    _run_suite("flatten_spec.rb", run, floor=0.99)
 
 
 def test_to_rdf_spec_suite():
