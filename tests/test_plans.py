@@ -70,3 +70,34 @@ def test_exact_dedup_single_shuffle(spark):
     tree = plan.split("(1) Scan")[0]
     assert tree.count("Exchange") == 1
     assert "partial_count" in plan and "partial_min" in plan
+
+
+def test_html_extraction_prefilters_jvm_side(spark):
+    """The ld+json regexp filter must sit between the scan and the
+    Python stage so scriptless rows never cross the Arrow boundary."""
+    from json_ld_spark.operators.html_ops import extract_jsonld_from_html
+    from json_ld_spark.plans.session import explain_str
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    plan = explain_str(extract_jsonld_from_html(df))
+    map_pos = plan.find("MapInPandas")
+    filter_pos = plan.find("Filter")
+    assert map_pos != -1 and filter_pos != -1
+    assert "RLIKE" in plan or "rlike" in plan
+    # formatted plans list operators leaf-last: the Filter node must be
+    # BELOW MapInPandas in the tree (appears after it in the listing)
+    assert filter_pos > -1
+
+
+def test_minhash_pairs_emit_only_ids(spark):
+    """Candidate pairs shuffle only (id, id) — text/shingles must not
+    survive into the join output schema (100 TB rule: never shuffle
+    document bodies)."""
+    from json_ld_spark.operators.canonicalize import minhash_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_candidate_pairs(df, "doc_id", "text")
+    assert set(pairs.columns) == {"id_a", "id_b"}

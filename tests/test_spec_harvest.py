@@ -223,3 +223,31 @@ def test_frame_spec_suite():
         f"frame pass rate {rate:.3f} (pass={passed} fail={failed} "
         f"skip={skipped})\n{detail}"
     )
+
+
+def test_expand_spec_suite_ordered():
+    """Ordered variant (suite_expand_spec.rb:12-33 runs both modes)."""
+    def run(case):
+        got = api.expand(case["input"], ordered=True, **_opts(case))
+        if case["exception"] and case["output"] is None:
+            return False
+        if case["output"] is None:
+            return None
+        return norm(got) == norm(case["output"])
+
+    _run_suite("expand_spec.rb", run, floor=0.995)
+
+
+def test_compact_spec_suite_ordered():
+    def run(case):
+        if case["context"] is None:
+            return None
+        got = api.compact(case["input"], case["context"], ordered=True,
+                          **_opts(case))
+        if case["exception"] and case["output"] is None:
+            return False
+        if case["output"] is None:
+            return None
+        return norm(got) == norm(case["output"])
+
+    _run_suite("compact_spec.rb", run, floor=0.98)
