@@ -96,8 +96,12 @@ def run_pipeline(
         "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(conv_buckets)).cast("int")
     )
 
+    # dynamic partition overwrite: only recomputed buckets are
+    # replaced, so a bucket that failed MID-write last run (partial
+    # files, no lineage row) is cleanly rewritten instead of appended —
+    # the parquet analog of Iceberg overwrite-by-filter
     (
-        all_triples.write.mode("append" if done_buckets else "overwrite")
+        all_triples.write.mode("overwrite")
         .partitionBy("conv_bucket")
         .parquet(triples_path)
     )

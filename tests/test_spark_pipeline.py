@@ -133,3 +133,35 @@ def test_triple_counts_are_deterministic(spark, transcripts):
     a = valid_triples(emit_triples(transcripts)).count()
     b = valid_triples(emit_triples(transcripts.repartition(3))).count()
     assert a == b
+
+
+def test_pipeline_partial_failure_resume(spark, transcripts, tmp_path):
+    """A bucket with partial output and no lineage row is recomputed
+    and REPLACED (dynamic partition overwrite), not appended."""
+    import glob
+    import shutil
+
+    from json_ld_spark.pipeline import run_pipeline
+
+    out = str(tmp_path / "kg")
+    m1 = run_pipeline(spark, transcripts, out, conv_buckets=4)
+    full_count = spark.read.parquet(out + "/graph_triples").count()
+
+    # simulate a mid-write failure of bucket 0: lineage row gone,
+    # partition dir still holds (now-stale, partial) files
+    lineage = spark.read.parquet(out + "/lineage").filter(
+        "conv_bucket <> 0"
+    ).collect()
+    shutil.rmtree(out + "/lineage")
+    spark.createDataFrame(
+        lineage,
+        "stage string, conv_bucket int, status string, triple_count long, "
+        "error_count long, wall_sec double",
+    ).write.parquet(out + "/lineage")
+
+    m2 = run_pipeline(spark, transcripts, out, conv_buckets=4, resume=True)
+    assert m2["buckets_skipped"] == 3
+    after = spark.read.parquet(out + "/graph_triples").count()
+    assert after == full_count, (
+        f"partial-failure resume changed the sink: {after} != {full_count}"
+    )
