@@ -264,6 +264,7 @@ def _expand_object(
             if expanded_property in output and expanded_property not in (
                 "@included",
                 "@type",
+                "@reverse",  # KEYS_INCLUDED_TYPE_REVERSE (expand.rb:289)
             ):
                 raise JsonLdError(err.COLLIDING_KEYWORDS, expanded_property)
 
