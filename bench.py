@@ -76,6 +76,10 @@ def main() -> None:
         "revenue_by_nation",
         "events_daily",
         "top_suppliers_window",
+        "events_sessionize",
+        "dedup_keep",
+        "kg_node_docs",
+        "kg_frame_conversations",
         "minhash_components",
     ]
     qmap = entry.queries()
