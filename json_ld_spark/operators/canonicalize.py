@@ -38,6 +38,22 @@ def _seeded_hash(seed: int):
     return lambda s: F.xxhash64(s, F.lit(seed))
 
 
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle: int = 3
+) -> DataFrame:
+    """(_id, _sh: array<long>): distinct 64-bit-hashed shingle sets,
+    materialized once — the shared input for BOTH minhash signatures
+    and exact-Jaccard verification (avoids computing the shingle
+    array twice per document)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.transform(char_shingles(F.col(text_col), shingle),
+                        lambda s: F.xxhash64(s))
+        ).alias("_sh"),
+    ).localCheckpoint()
+
+
 def minhash_signature(shingles_col, num_hashes: int = 32):
     """Array of minhash values, one per seeded hash function.
 
@@ -64,6 +80,7 @@ def minhash_candidate_pairs(
     bands: int = 8,
     shingle: int = 3,
     max_bucket: int = 64,
+    shingle_sets: "DataFrame | None" = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs whose minhash bands collide.
 
@@ -74,13 +91,13 @@ def minhash_candidate_pairs(
     rows_per_band = num_hashes // bands
     # stage the shingle array in its own projection: higher-order
     # functions are interpreted (no codegen CSE), so inlining the
-    # shingle expression into all `num_hashes` array_min(transform(...))
-    # trees recomputes it num_hashes× per row (measured 20× slowdown)
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        char_shingles(F.col(text_col), shingle).alias("_sh"),
+    # shingle expression into the signature aggregate would recompute
+    # it per accumulator update
+    if shingle_sets is None:
+        shingle_sets = hashed_shingle_sets(df, id_col, text_col, shingle)
+    sig = shingle_sets.select(
+        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
     )
-    sig = sh.select("_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
     banded = sig.select(
         "_id",
         F.posexplode(
@@ -129,6 +146,7 @@ def jaccard_filter(
     text_col: str,
     threshold: float = 0.6,
     shingle: int = 3,
+    shingle_sets: "DataFrame | None" = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard (join back
     the shingle sets, JVM array intersect/union).
@@ -137,13 +155,9 @@ def jaccard_filter(
     shingle arrays per candidate, so 8-byte longs cut shuffle bytes ~3x
     and intersect/union compares longs (collision probability over a
     few hundred shingles is ~1e-14 — immaterial for dedup)."""
-    sh = df.select(
-        F.col(id_col).alias("_jid"),
-        F.array_distinct(
-            F.transform(char_shingles(F.col(text_col), shingle),
-                        lambda s: F.xxhash64(s))
-        ).alias("_sh"),
-    ).localCheckpoint()  # joined twice (id_a and id_b sides)
+    if shingle_sets is None:
+        shingle_sets = hashed_shingle_sets(df, id_col, text_col, shingle)
+    sh = shingle_sets.withColumnRenamed("_id", "_jid")
     out = (
         pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
         .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sb"), "id_b")

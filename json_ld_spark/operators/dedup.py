@@ -59,8 +59,16 @@ def minhash_dedup_components(
 ) -> DataFrame:
     """(id, component): near-duplicate clusters via MinHash blocking →
     Jaccard verify → connected components. Singletons omitted."""
-    pairs = minhash_candidate_pairs(docs, id_col, text_col, num_hashes, bands)
-    verified = jaccard_filter(pairs, docs, id_col, text_col, threshold)
+    from json_ld_spark.operators.canonicalize import hashed_shingle_sets
+
+    # one shingle pass feeds both blocking and verification
+    sets_ = hashed_shingle_sets(docs, id_col, text_col)
+    pairs = minhash_candidate_pairs(
+        docs, id_col, text_col, num_hashes, bands, shingle_sets=sets_
+    )
+    verified = jaccard_filter(
+        pairs, docs, id_col, text_col, threshold, shingle_sets=sets_
+    )
     return connected_components(verified.select("id_a", "id_b"))
 
 
