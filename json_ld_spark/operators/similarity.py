@@ -44,6 +44,41 @@ def brute_force_topk(
     )
 
 
+def plane_matrix(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix for sign-LSH, derived from
+    md5 so any engine (Spark, DuckDB, plain Python) can reproduce the
+    buckets bit-for-bit. Plane weights are data-independent constants —
+    computing them driver-side and inlining them as literals keeps the
+    executor expression pure arithmetic (no hashing per row)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        digest = b""
+        while len(digest) < dim:
+            digest += hashlib.md5(
+                f"{seed}:{p}:{len(digest)}".encode()
+            ).digest()
+        planes.append([1.0 if b & 1 else -1.0 for b in digest[:dim]])
+    return planes
+
+
+def sign_lsh_bucket_literal(vec_col, planes: Sequence[Sequence[float]]):
+    """Sign-LSH bucket id from a literal plane matrix (see
+    plane_matrix). Bit p of the bucket = sign of <v, plane_p>;
+    plane 0 is the most significant bit."""
+    bucket = F.lit(0).cast("long")
+    for weights in planes:
+        w = F.array(*[F.lit(x) for x in weights])
+        d = F.aggregate(
+            F.zip_with(vec_col, w, lambda x, wj: x.cast("double") * wj),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket * 2 + F.when(d >= 0, 1).otherwise(0)
+    return bucket
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],
@@ -51,18 +86,50 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 6,
+    probe_radius: int = 1,
+    planes: "Sequence[Sequence[float]] | None" = None,
 ) -> DataFrame:
-    """Approximate top-k: only vectors whose sign-LSH bucket matches
-    the query's bucket are scored. Recall < 1 by design; the candidate
-    set shrinks ~2^n_planes-fold."""
-    bucketed = embeddings.withColumn("_bkt", sign_lsh_bucket(F.col(vec_col), n_planes))
+    """Approximate top-k: only vectors whose sign-LSH bucket is within
+    ``probe_radius`` Hamming bits of the query's bucket are scored
+    (multi-probe LSH: the query's own bucket plus its near-miss
+    neighbors, which is where boundary-straddling true neighbors land).
+    Candidate fraction ≈ Σ_{r≤radius} C(n_planes, r) / 2^n_planes.
+
+    With ``planes`` given (a literal ±1 matrix from plane_matrix), the
+    bucket function is engine-independent — the DuckDB oracle
+    reproduces it exactly; default (None) derives planes from
+    plane_matrix(n_planes, dim of first row is unknown) — callers pass
+    planes explicitly when they need cross-engine determinism, else
+    the xxhash64-seeded sign_lsh_bucket is used."""
     q = _query_vec_col(query_vec)
-    # query bucket computed with the same expression over a 1-row frame
+    if planes is not None:
+        bucket_of = lambda c: sign_lsh_bucket_literal(c, planes)  # noqa: E731
+        n_bits = len(planes)
+    else:
+        bucket_of = lambda c: sign_lsh_bucket(c, n_planes)  # noqa: E731
+        n_bits = n_planes
+    bucketed = embeddings.withColumn("_bkt", bucket_of(F.col(vec_col)))
+    # query bucket computed with the same expression over a 1-row
+    # frame, then exploded into the probe set (Hamming ≤ radius)
+    flips = [0] + [1 << i for i in range(n_bits)]
+    if probe_radius >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
     qrow = (
         embeddings.sparkSession.range(1)
-        .select(q.alias("_qv"))
-        .withColumn("_bkt", sign_lsh_bucket(F.col("_qv"), n_planes))
-        .select("_bkt")
+        .select(bucket_of(q.cast("array<double>")).alias("_qb"))
+        .select(
+            F.explode(
+                F.array(*[
+                    F.col("_qb").bitwiseXOR(F.lit(m).cast("long"))
+                    for m in flips
+                ])
+            ).alias("_bkt")
+        )
+        .distinct()
     )
     return (
         bucketed.join(F.broadcast(qrow), "_bkt")
@@ -106,16 +173,29 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (broadcast the
-    codebook — it is dimension-table-sized by construction)."""
+    codebook — it is dimension-table-sized by construction).
+
+    The arg-max is a ``max_by`` aggregate, not a window: the broadcast
+    cross join keeps all C scored rows of a vector in one partition,
+    so partial aggregation collapses them map-side and the exchange
+    carries one row per vector — a window over the N×C scored rows
+    would shuffle the whole cross-join output (the bounded-vs-unbounded
+    exchange difference at 100-TB vector counts)."""
     joined = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
         "_sim", cosine_similarity(F.col(vec_col), F.col("centroid"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("centroid_id"))
+    # max of (sim, -centroid_id) = highest similarity, ties to the
+    # lowest centroid id (same order the old window used)
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        joined.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("_sim").alias("s"),
+                         (-F.col("centroid_id")).alias("c")),
+            ).alias("centroid_id"),
+            F.first(vec_col).alias(vec_col),
+        )
         .select(id_col, vec_col, "centroid_id")
     )
 

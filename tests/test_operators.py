@@ -136,6 +136,25 @@ def test_lsh_topk_recall(spark, vectors):
     assert len(exact & approx) >= 2
 
 
+def test_lsh_multiprobe_recall(spark, vectors):
+    """Multi-probe (Hamming ≤ 2) with a literal plane matrix must hit
+    ≥0.9 recall vs brute force on near-neighbor retrieval (clustered
+    fixture: the realistic regime — on isotropic random data no
+    sublinear method beats a scan, so recall targets near-dups)."""
+    from json_ld_spark.operators.similarity import plane_matrix
+
+    planes = plane_matrix(6, 16)
+    qvec = vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in brute_force_topk(vectors, qvec, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in lsh_topk(
+            vectors, qvec, k=10, planes=planes, probe_radius=2
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
 def test_ivf_topk(spark, vectors):
     qvec = vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     cents = build_ivf_centroids(vectors, n_centroids=4, dim=16)

@@ -89,6 +89,19 @@ def test_html_extraction_prefilters_jvm_side(spark):
     assert filter_pos > -1
 
 
+def test_ivf_assign_no_window_exchange(spark):
+    """Nearest-centroid assignment must be a max_by aggregate with
+    map-side partial aggregation — a Window.partitionBy(vec_id) would
+    shuffle the whole N×C cross-join output (unbounded exchange at
+    100-TB vector counts)."""
+    from json_ld_spark.operators.similarity import build_ivf_centroids, ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = explain_str(ivf_assign(emb, build_ivf_centroids(emb)))
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+
+
 def test_minhash_pairs_emit_only_ids(spark):
     """Candidate pairs shuffle only (id, id) — text/shingles must not
     survive into the join output schema (100 TB rule: never shuffle
