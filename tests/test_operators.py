@@ -90,6 +90,22 @@ def test_connected_components_chain(spark):
     assert comps[10] == comps[11] == 10
 
 
+def test_connected_components_deep_chain_log_rounds(spark):
+    """A 10k-node chain (worst case for min-label propagation, which
+    needs O(diameter)=10k rounds) must converge in ~log2(n) rounds
+    under alternating large-star/small-star."""
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats: dict = {}
+    rows = connected_components(edges, stats=stats).collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+    # 14 productive rounds + 1 fixpoint confirmation at n=10k
+    assert stats["rounds"] <= 17, stats
+
+
 def test_merge_map_relabel(spark):
     comps = spark.createDataFrame(
         [("b", "a"), ("a", "a"), ("z", "z")], "id string, component string"
