@@ -93,11 +93,18 @@ def triples_to_node_docs(triples: DataFrame) -> DataFrame:
 
 
 def reconstitute_lists(triples: DataFrame, max_iter: int = 12) -> DataFrame:
-    """(head_bnode, items array, depth): well-formed rdf:first/rest
-    chains collapsed, walking from rdf:nil backwards via iterative
-    joins until fixpoint (bounded by max list length 2^?? no —
-    max_iter joins walk max_iter cells; longer chains stay unfolded
-    and are reported with exhausted=true)."""
+    """(head, items, depth, exhausted): rdf:first/rest chains collapsed
+    by POINTER DOUBLING — each round joins every unfinished chain state
+    with the state its tail points at, so round k covers chains of up
+    to 2^k cells: max_iter=12 handles 4096-cell lists in 12 joins
+    (one-cell-per-join walking would need 4096 rounds).
+
+    Parity: from_rdf.rb:134-166 (the usages walk). Only maximal chains
+    (heads not referenced as another cell's rest) are returned. Chains
+    longer than 2^max_iter cells — or cyclic ones — are NOT silently
+    dropped: they come back with exhausted=true and the items collected
+    so far, so callers can quarantine or re-run with a higher bound.
+    """
     cells = (
         triples.filter(F.col("pred").isin(RDF_FIRST, RDF_REST))
         .groupBy("subj")
@@ -107,31 +114,44 @@ def reconstitute_lists(triples: DataFrame, max_iter: int = 12) -> DataFrame:
         .withColumnRenamed(RDF_REST, "rest")
         .filter(F.col("first").isNotNull() & F.col("rest").isNotNull())
     )
-    # start: cells whose rest is nil; extend the frontier one cell
-    # backwards per iteration (chains longer than max_iter stay
-    # partial and are dropped by the maximality filter below)
-    frontier = cells.filter(F.col("rest") == RDF_NIL).select(
-        F.col("subj").alias("head"), F.array("first").alias("items")
+    # state: per chain-start node, the items accumulated from it up to
+    # (not including) ptr; ptr = rdf:nil means the chain is complete.
+    # One row per node throughout — doubling never inflates the row
+    # count (emitting every sub-interval would be quadratic).
+    state = cells.select(
+        F.col("subj").alias("head"),
+        F.array("first").alias("items"),
+        F.col("rest").alias("ptr"),
     ).localCheckpoint()
-    layers = [frontier]
     for _ in range(max_iter):
-        ext = (
-            cells.alias("c")
-            .join(frontier.alias("a"), F.col("c.rest") == F.col("a.head"))
-            .select(
-                F.col("c.subj").alias("head"),
-                F.concat(F.array("c.first"), F.col("a.items")).alias("items"),
-            )
-        ).localCheckpoint()
-        if ext.limit(1).count() == 0:
+        todo = state.filter(F.col("ptr") != RDF_NIL)
+        if not todo.take(1):
             break
-        layers.append(ext)
-        frontier = ext
-    acc = layers[0]
-    for layer in layers[1:]:
-        acc = acc.union(layer)
+        done = state.filter(F.col("ptr") == RDF_NIL)
+        stepped = (
+            todo.alias("a")
+            .join(
+                state.alias("b"),
+                F.col("a.ptr") == F.col("b.head"),
+                "left",
+            )
+            .select(
+                F.col("a.head").alias("head"),
+                F.when(
+                    F.col("b.head").isNotNull(),
+                    F.concat(F.col("a.items"), F.col("b.items")),
+                ).otherwise(F.col("a.items")).alias("items"),
+                # dangling ptr (malformed chain): keep it — surfaces
+                # as exhausted=true below instead of vanishing
+                F.coalesce(F.col("b.ptr"), F.col("a.ptr")).alias("ptr"),
+            )
+        )
+        state = done.union(stepped).localCheckpoint()
     # keep only maximal chains (heads that are not some other cell's rest)
     inner = cells.select(F.col("rest").alias("head")).distinct()
-    return acc.join(inner, "head", "left_anti").select(
-        "head", "items", F.size("items").alias("depth")
+    return state.join(inner, "head", "left_anti").select(
+        "head",
+        "items",
+        F.size("items").alias("depth"),
+        (F.col("ptr") != RDF_NIL).alias("exhausted"),
     )

@@ -61,6 +61,42 @@ def test_list_reconstitution(spark):
     assert lists == {"_:l0": ["a", "b", "c"], "_:m0": ["z"]}
 
 
+def _chain_rows(head: str, n_cells: int):
+    rows = []
+    for i in range(n_cells):
+        rest = RDFNS + "nil" if i == n_cells - 1 else f"{head}{i + 1}"
+        rows.append((f"{head}{i}" if i else head, RDFNS + "first",
+                     f"v{i}", False, XSD + "string", None, None))
+        rows.append((f"{head}{i}" if i else head, RDFNS + "rest",
+                     rest, True, None, None, None))
+    return rows
+
+
+def test_list_pointer_doubling_4096_cells(spark):
+    """A 4096-cell chain reconstitutes within max_iter=12 doubling
+    joins (2^12 = 4096); one-cell-per-round walking would need 4096."""
+    df = spark.createDataFrame(_chain_rows("_:big", 4096), TRIPLE_SCHEMA)
+    rows = reconstitute_lists(df, max_iter=12).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["depth"] == 4096 and not r["exhausted"]
+    assert list(r["items"]) == [f"v{i}" for i in range(4096)]
+
+
+def test_list_truncation_surfaced_not_dropped(spark):
+    """Chains longer than 2^max_iter must come back exhausted=true
+    with the collected prefix — never silently vanish."""
+    df = spark.createDataFrame(_chain_rows("_:long", 20), TRIPLE_SCHEMA)
+    rows = reconstitute_lists(df, max_iter=3).collect()  # 2^3 = 8 < 20
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["exhausted"] and r["depth"] < 20
+    assert list(r["items"]) == [f"v{i}" for i in range(r["depth"])]
+    # and with enough rounds the same input completes
+    full = reconstitute_lists(df, max_iter=5).collect()[0]
+    assert not full["exhausted"] and full["depth"] == 20
+
+
 def test_lists_roundtrip_through_pipeline(spark):
     """Core toRDF list chains must reassemble to the original order."""
     from json_ld_spark.core import api as core_api
