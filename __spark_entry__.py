@@ -229,15 +229,36 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_PLANES = 6
+_LSH_DIM = 64
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+def _lsh_planes() -> list[list[float]]:
+    from json_ld_spark.operators.similarity import plane_matrix
+
+    return plane_matrix(_LSH_PLANES, _LSH_DIM)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-k. The plane matrix is a literal ±1
+    matrix (plane_matrix), so the bucket function — and therefore the
+    whole approximate result — is reproduced exactly by the DuckDB
+    oracle: a FULL oracle for an LSH query, not a rows-only check.
+    The 1-row query-vector collect is a parameter fetch (the plane
+    literals need driver-side values), not a data collect."""
     from json_ld_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return lsh_topk(emb, qvec, k=10)
+    return lsh_topk(emb, qvec, k=10, planes=_lsh_planes(), probe_radius=1)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a mod-partition codebook: centroid c = mean of
+    vectors with vec_id ≡ c (mod n) — deterministic and recomputable
+    by the SQL oracle, so assignment + probing + scoring all oracle."""
     from json_ld_spark.operators.similarity import (
         build_ivf_centroids,
         ivf_assign,
@@ -246,9 +267,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    cents = build_ivf_centroids(emb)
+    cents = build_ivf_centroids(emb, n_centroids=_IVF_CELLS)
     assigned = ivf_assign(emb, cents)
-    return ivf_topk(assigned, cents, qvec, k=10)
+    return ivf_topk(assigned, cents, qvec, k=10, nprobe=_IVF_NPROBE)
 
 
 def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,6 +397,85 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("session_value"),
         )
     )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of q_ann_lsh_topk: identical literal planes →
+    identical buckets → identical probe set and top-k."""
+    planes = _lsh_planes()
+    bucket_terms = []
+    for p, weights in enumerate(planes):
+        lit = "[" + ", ".join(f"{w:.1f}" for w in weights) + "]"
+        bit = 1 << (_LSH_PLANES - 1 - p)
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
+            f"THEN CAST({bit} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    flips = [0] + [1 << i for i in range(_LSH_PLANES)]
+    flip_vals = ", ".join(f"({m})" for m in flips)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, {bucket} AS bkt FROM e),
+    q AS (SELECT v AS qv, bkt AS qb FROM b WHERE vec_id = 0),
+    p AS (SELECT DISTINCT xor(qb, CAST(f.x AS BIGINT)) AS bkt
+          FROM q, (VALUES {flip_vals}) f(x))
+    SELECT b.vec_id AS vec_id,
+           round({_sql_cos('b.v', 'q.qv')}, 4) AS cosine
+    FROM b JOIN p USING (bkt), q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB twin of q_ann_ivf_topk: recompute the mod-partition
+    codebook, assignment (argmax cosine), probe set, and final top-k."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    comp AS (
+      SELECT CAST(vec_id % {_IVF_CELLS} AS INT) AS centroid_id, t.i AS i,
+             avg(v[t.i]) AS c
+      FROM e, range(1, {_LSH_DIM + 1}) t(i)
+      GROUP BY 1, 2
+    ),
+    cents AS (
+      SELECT centroid_id, list(c ORDER BY i) AS centroid
+      FROM comp GROUP BY 1
+    ),
+    probe AS (
+      SELECT centroid_id FROM cents, q
+      ORDER BY {_sql_cos('centroid', 'qv')} DESC, centroid_id
+      LIMIT {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.v, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cos('e.v', 'c.centroid')} DESC, c.centroid_id
+             ) AS rn
+      FROM e CROSS JOIN cents c
+    ),
+    assigned AS (SELECT vec_id, v, centroid_id FROM scored WHERE rn = 1)
+    SELECT a.vec_id AS vec_id, round({_sql_cos('a.v', 'q.qv')}, 4) AS cosine
+    FROM assigned a JOIN probe USING (centroid_id), q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -615,6 +715,8 @@ def oracle_sql() -> dict[str, str]:
               (sqrt(list_dot_product(a.v, a.v)) *
                sqrt(list_dot_product(b.v, b.v))), 4) >= 0.5
         """,
+        "ann_lsh_topk": _lsh_oracle_sql(),
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "ann_brute_topk": """
         WITH q AS (
           SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -153,8 +153,12 @@ def build_ivf_centroids(
     mean of vectors hashed to cell c (deterministic one-pass
     quantization; good enough as a routing structure, replaceable by a
     trained codebook)."""
+    # cell = vec_id mod n: any deterministic partition works as a
+    # coarse quantizer, and the modulus (unlike a seeded hash) is
+    # reproducible by any SQL engine — the DuckDB oracle recomputes
+    # the identical codebook. Sequential ids also balance perfectly.
     cells = embeddings.select(
-        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids))).alias("centroid_id"),
+        (F.pmod(F.col(id_col), F.lit(n_centroids))).cast("int").alias("centroid_id"),
         F.col(vec_col).alias("_v"),
     )
     agg = cells.groupBy("centroid_id").agg(
@@ -216,7 +220,7 @@ def ivf_topk(
         centroids.select(
             "centroid_id", cosine_similarity(F.col("centroid"), q).alias("_csim")
         )
-        .orderBy(F.desc("_csim"))
+        .orderBy(F.desc("_csim"), F.col("centroid_id"))
         .limit(nprobe)
         .select("centroid_id")
     )
