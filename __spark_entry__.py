@@ -186,17 +186,30 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-LSH near-dup pairs with the md5-prefix 60-bit
+    hash family: the DuckDB oracle recomputes the same signatures,
+    blocks, and Hamming distances — a FULL oracle for the banding
+    pipeline (the xxhash64 family stays the production default and is
+    what bench.py measures)."""
     from json_ld_spark.operators.dedup import simhash_neardup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_neardup_pairs(docs).filter(F.col("hamming") <= 16)
+    return simhash_neardup_pairs(docs, hash_family="md5").filter(
+        F.col("hamming") <= 16
+    )
 
 
 def q_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash blocking → Jaccard verify → connected components, with
+    the md5+affine hash family: the DuckDB oracle recomputes the same
+    signatures, band buckets (incl. the 64-row skew cap), verified
+    pairs, and components (recursive-CTE transitive closure) — a FULL
+    oracle for the entire near-dup clustering pipeline. bench.py
+    measures the xxhash64 production family."""
     from json_ld_spark.operators.dedup import minhash_dedup_components
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup_components(docs, threshold=0.3)
+    return minhash_dedup_components(docs, threshold=0.3, hash_family="md5")
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +417,124 @@ def _sql_cos(a: str, b: str) -> str:
         f"list_dot_product({a}, {b}) / "
         f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
     )
+
+
+_MD5H60 = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _simhash_oracle_sql(shingle: int = 4, n_bits: int = 60,
+                        block_bits: int = 15, max_hamming: int = 16) -> str:
+    """DuckDB twin of q_simhash_pairs: md5-prefix shingle hashes →
+    per-bit vote sums → 60-bit signature → 4×15-bit block banding →
+    Hamming filter. Bit-for-bit the Spark md5-family computation."""
+    h = _MD5H60.format(x=f"substring(lt, i, {shingle})")
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> "
+        f"CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    n_blocks = n_bits // block_bits
+    mask = (1 << block_bits) - 1
+    return f"""
+    WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+    h AS (
+      SELECT doc_id, list_transform(
+        generate_series(1, greatest(length(lt) - {shingle - 1}, 1)),
+        i -> {h}
+      ) AS hs FROM d
+    ),
+    sig AS (SELECT doc_id, ({sig_terms}) AS sh FROM h),
+    blk AS (
+      SELECT doc_id, sh, t.b AS blk_i,
+             (sh >> (t.b * {block_bits})) & {mask} AS key
+      FROM sig, range(0, {n_blocks}) t(b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM blk a JOIN blk b
+      ON a.blk_i = b.blk_i AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
+                        shingle: int = 3, max_bucket: int = 64,
+                        threshold: float = 0.3) -> str:
+    """DuckDB twin of q_minhash_components: md5-base shingle hashes →
+    affine minhash signatures → md5-string band buckets (64-cap skew
+    guard) → candidate self-join → exact-Jaccard verify → connected
+    components via recursive-CTE transitive closure (components are
+    near-dup clusters: small, so closure is cheap; Spark uses
+    large-star/small-star for the same result at corpus scale)."""
+    from json_ld_spark.operators.canonicalize import minhash_affine
+
+    A, B, P = minhash_affine(num_hashes)
+    rows_per_band = num_hashes // bands
+    h = _MD5H60.format(x=f"substring(lt, i, {shingle})")
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> ({A[i]} * (h % {P}) + {B[i]}) % {P}))"
+        for i in range(num_hashes)
+    )
+    band_parts = ", ".join(
+        "md5(concat_ws('-', CAST(t.b AS VARCHAR), "
+        + ", ".join(
+            f"CAST(sg[t.b * {rows_per_band} + {j + 1}] AS VARCHAR)"
+            for j in range(rows_per_band)
+        )
+        + "))"
+        for _ in range(1)
+    )
+    jac = (
+        "len(list_intersect(sa.hs, sb.hs)) * 1.0 / "
+        "(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))"
+    )
+    return f"""
+    WITH RECURSIVE d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(length(lt) - {shingle - 1}, 1)),
+        i -> {h}
+      )) AS hs FROM d
+    ),
+    sig AS (SELECT doc_id, hs, [{sig_items}] AS sg FROM sh),
+    band AS (
+      SELECT doc_id, t.b AS band_i, {band_parts} AS bucket
+      FROM sig, range(0, {bands}) t(b)
+    ),
+    capped AS (
+      SELECT doc_id, band_i, bucket FROM (
+        SELECT doc_id, band_i, bucket,
+               row_number() OVER (PARTITION BY band_i, bucket
+                                  ORDER BY doc_id) AS rn
+        FROM band
+      ) WHERE rn <= {max_bucket}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.band_i = b.band_i AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+    ),
+    vp AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sh sa ON sa.doc_id = cand.id_a
+      JOIN sh sb ON sb.doc_id = cand.id_b
+      WHERE {jac} >= {threshold}
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM vp
+      UNION SELECT id_b, id_a FROM vp
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+      WHERE u.b != r.a
+    )
+    SELECT a AS id, least(a, min(b)) AS component
+    FROM reach GROUP BY a
+    """
 
 
 def _lsh_oracle_sql() -> str:
@@ -715,6 +846,8 @@ def oracle_sql() -> dict[str, str]:
               (sqrt(list_dot_product(a.v, a.v)) *
                sqrt(list_dot_product(b.v, b.v))), 4) >= 0.5
         """,
+        "simhash_pairs": _simhash_oracle_sql(),
+        "minhash_components": _minhash_oracle_sql(),
         "ann_lsh_topk": _lsh_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "ann_brute_topk": """

@@ -38,29 +38,71 @@ def _seeded_hash(seed: int):
     return lambda s: F.xxhash64(s, F.lit(seed))
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1: (a*h + b) % P stays in 62 bits
+
+
+def minhash_affine(num_hashes: int = 32, seed: int = 12345):
+    """(A, B, P) coefficients for the affine universal-hash family
+    h_i(x) = (a_i * x + b_i) mod P over a shared md5-derived base
+    hash. Seeded-deterministic so ANY engine (DuckDB included) can
+    reproduce the signatures from the same constants — the basis for
+    the fully-oracled minhash driver query."""
+    import random
+
+    rnd = random.Random(seed)
+    A = [rnd.randrange(1, MINHASH_PRIME) for _ in range(num_hashes)]
+    B = [rnd.randrange(0, MINHASH_PRIME) for _ in range(num_hashes)]
+    return A, B, MINHASH_PRIME
+
+
 def hashed_shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, shingle: int = 3
+    df: DataFrame, id_col: str, text_col: str, shingle: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """(_id, _sh: array<long>): distinct 64-bit-hashed shingle sets,
+    """(_id, _sh: array<long>): distinct hashed shingle sets,
     materialized once — the shared input for BOTH minhash signatures
     and exact-Jaccard verification (avoids computing the shingle
-    array twice per document)."""
+    array twice per document). hash_family "md5" uses the
+    cross-engine md5-prefix hash (see dedup.md5_hash60)."""
+    if hash_family == "md5":
+        from json_ld_spark.operators.dedup import md5_hash60
+
+        hf = md5_hash60
+    else:
+        hf = lambda s: F.xxhash64(s)  # noqa: E731 (varargs fn can't be a HOF callback)
     return df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
-            F.transform(char_shingles(F.col(text_col), shingle),
-                        lambda s: F.xxhash64(s))
+            F.transform(char_shingles(F.col(text_col), shingle), hf)
         ).alias("_sh"),
     ).localCheckpoint()
 
 
-def minhash_signature(shingles_col, num_hashes: int = 32):
-    """Array of minhash values, one per seeded hash function.
+def minhash_signature(shingles_col, num_hashes: int = 32, affine=None):
+    """Array of minhash values, one per hash function.
 
     Single traversal: one aggregate whose accumulator holds all
     ``num_hashes`` running minima (~35% faster than ``num_hashes``
-    separate interpreted array_min(transform(...)) passes; hash values
-    are identical — xxhash64(shingle, seed) either way)."""
+    separate interpreted array_min(transform(...)) passes).
+
+    Default family: xxhash64(shingle, seed_i) — fastest, JVM-only.
+    With ``affine`` = (A, B, P) from minhash_affine: h_i =
+    (a_i * (base % P) + b_i) % P over the md5-base shingle hashes —
+    bit-identical in any SQL engine."""
+    if affine is not None:
+        A, B, P = affine
+        ab = F.array(*[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in zip(A, B)
+        ])
+        return F.aggregate(
+            shingles_col,
+            F.array_repeat(F.lit(P).cast("long"), num_hashes),
+            lambda acc, h: F.zip_with(
+                acc, ab,
+                lambda ac, s: F.least(ac, (s["a"] * (h % P) + s["b"]) % P),
+            ),
+        )
     seeds = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
     max_long = (1 << 63) - 1
     return F.aggregate(
@@ -81,12 +123,16 @@ def minhash_candidate_pairs(
     shingle: int = 3,
     max_bucket: int = 64,
     shingle_sets: "DataFrame | None" = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs whose minhash bands collide.
 
     rows per band-bucket are capped at ``max_bucket`` (hot buckets —
     e.g. empty strings — would otherwise explode quadratically; the
     cap is a skew guard, logged by callers that need exactness).
+
+    hash_family "md5": md5-base + affine signatures and md5-string
+    band buckets — every stage reproducible by the SQL oracle.
     """
     rows_per_band = num_hashes // bands
     # stage the shingle array in its own projection: higher-order
@@ -94,23 +140,33 @@ def minhash_candidate_pairs(
     # shingle expression into the signature aggregate would recompute
     # it per accumulator update
     if shingle_sets is None:
-        shingle_sets = hashed_shingle_sets(df, id_col, text_col, shingle)
+        shingle_sets = hashed_shingle_sets(
+            df, id_col, text_col, shingle, hash_family=hash_family
+        )
+    affine = minhash_affine(num_hashes) if hash_family == "md5" else None
     sig = shingle_sets.select(
-        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+        "_id",
+        minhash_signature(F.col("_sh"), num_hashes, affine=affine).alias("_sig"),
     )
+    if hash_family == "md5":
+        def band_bucket(i: int):
+            return F.md5(F.concat_ws(
+                "-",
+                F.lit(str(i)),
+                *[F.element_at("_sig", i * rows_per_band + j + 1).cast("string")
+                  for j in range(rows_per_band)],
+            ))
+    else:
+        def band_bucket(i: int):
+            return F.xxhash64(
+                *[F.element_at("_sig", i * rows_per_band + j + 1)
+                  for j in range(rows_per_band)],
+                F.lit(1000 + i),
+            )
     banded = sig.select(
         "_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.element_at("_sig", i * rows_per_band + j + 1)
-                          for j in range(rows_per_band)],
-                        F.lit(1000 + i),
-                    )
-                    for i in range(bands)
-                ]
-            )
+            F.array(*[band_bucket(i) for i in range(bands)])
         ).alias("_band", "_bucket"),
     )
     # bound bucket size (skew guard)

@@ -56,15 +56,18 @@ def minhash_dedup_components(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, component): near-duplicate clusters via MinHash blocking →
-    Jaccard verify → connected components. Singletons omitted."""
+    Jaccard verify → connected components. Singletons omitted.
+    hash_family "md5" = the cross-engine family (full SQL oracle)."""
     from json_ld_spark.operators.canonicalize import hashed_shingle_sets
 
     # one shingle pass feeds both blocking and verification
-    sets_ = hashed_shingle_sets(docs, id_col, text_col)
+    sets_ = hashed_shingle_sets(docs, id_col, text_col, hash_family=hash_family)
     pairs = minhash_candidate_pairs(
-        docs, id_col, text_col, num_hashes, bands, shingle_sets=sets_
+        docs, id_col, text_col, num_hashes, bands, shingle_sets=sets_,
+        hash_family=hash_family,
     )
     verified = jaccard_filter(
         pairs, docs, id_col, text_col, threshold, shingle_sets=sets_
@@ -72,24 +75,37 @@ def minhash_dedup_components(
     return connected_components(verified.select("id_a", "id_b"))
 
 
-def simhash64(text_col, shingle: int = 4):
-    """64-bit SimHash over character shingles, as ONE JVM aggregate:
-    the accumulator is an array of 64 vote counters updated per
-    shingle hash (a single expression tree — 64 separate aggregates
-    made codegen explode and cost seconds of compile per query)."""
+def md5_hash60(col):
+    """60-bit hash from the md5 hex prefix: the cross-engine hash
+    family. Any SQL engine with md5 reproduces it —
+    DuckDB: CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) —
+    which is what makes simhash/minhash driver queries fully
+    oracle-checkable instead of rows-only. xxhash64 stays the default
+    production family (≈3× cheaper); the algorithms are identical."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_sig(text_col, shingle: int = 4, n_bits: int = 64, hash_fn=None):
+    """n_bits-wide SimHash over character shingles, as ONE JVM
+    aggregate: the accumulator is an array of n_bits vote counters
+    updated per shingle hash (a single expression tree — 64 separate
+    aggregates made codegen explode and cost seconds of compile per
+    query). hash_fn maps a shingle column to a long (default
+    xxhash64; md5_hash60 with n_bits=60 for the cross-engine family).
+    """
     lowered = F.lower(text_col)
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(lowered) - (shingle - 1), F.lit(1))),
         lambda i: F.substring(lowered, 1, 2147483647).substr(i, F.lit(shingle)),
     )
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    hashes = F.transform(shingles, hash_fn or (lambda s: F.xxhash64(s)))
     # per-bit masks as a literal array (bit 63 = the sign bit as a
     # signed long); shift functions require literal bit counts, masks
     # don't
     masks = F.array(
         *[
             F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
     votes = F.aggregate(
@@ -115,15 +131,30 @@ def simhash64(text_col, shingle: int = 4):
     )
 
 
+def simhash64(text_col, shingle: int = 4):
+    """64-bit SimHash, xxhash64 family (the production default)."""
+    return simhash_sig(text_col, shingle=shingle, n_bits=64)
+
+
 def simhash_neardup_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    block_bits: int = 16,
+    block_bits: int = 16, hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """Candidate pairs whose SimHash agrees on each of four 16-bit
-    blocks (one block match suffices — standard Hamming-LSH banding)."""
-    sig = docs.select(
-        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh")
-    )
+    """Candidate pairs whose SimHash agrees on at least one block
+    (standard Hamming-LSH banding: 4 blocks of signature bits).
+
+    hash_family "md5" switches to the 60-bit md5-prefix family
+    (md5_hash60) with 4×15-bit blocks — same algorithm, reproducible
+    by the DuckDB oracle bit-for-bit."""
+    if hash_family == "md5":
+        n_bits, block_bits = 60, 15
+        sig_col = simhash_sig(
+            F.col(text_col), n_bits=n_bits, hash_fn=md5_hash60
+        )
+    else:
+        n_bits = 64
+        sig_col = simhash64(F.col(text_col))
+    sig = docs.select(F.col(id_col).alias("_id"), sig_col.alias("_sh"))
     mask = (1 << block_bits) - 1
     blocked = sig.select(
         "_id",
@@ -132,7 +163,7 @@ def simhash_neardup_pairs(
             F.array(
                 *[
                     F.shiftright("_sh", i * block_bits).bitwiseAND(F.lit(mask))
-                    for i in range(64 // block_bits)
+                    for i in range(n_bits // block_bits)
                 ]
             )
         ).alias("_blk", "_key"),
