@@ -356,29 +356,80 @@ def q_top_suppliers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Output-formatting path (no oracle: JSON-LD document text is not
-    SQL-expressible): triples → compacted JSON-LD doc per conv."""
-    from json_ld_spark.operators.output_docs import triples_to_documents
+    """Writer-path round trip: triples → fromRdf+compact (one JSON-LD
+    document per conversation) → expand+toRdf back to triples. The
+    output must equal the original triple set exactly — bnode labels
+    included (pass-through namer) — so the proven SQL triple oracle
+    validates the document JSON end-to-end. This exercises fromRDF,
+    compaction, expansion, AND toRDF in one gated query."""
+    from json_ld_spark.operators.output_docs import (
+        documents_to_triples,
+        triples_to_documents,
+    )
 
-    return triples_to_documents(_triples(spark, sf_dir))
+    docs = triples_to_documents(_triples(spark, sf_dir))
+    return documents_to_triples(docs).select(*_TRIPLE_COLS)
 
 
 def q_kg_node_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational fromRDF: triples → per-subject expanded node docs
-    (groupBy(graph,subj) reconstitution; no oracle: JSON text)."""
-    from json_ld_spark.operators.from_rdf_ops import triples_to_node_docs
+    """Relational fromRDF round trip: triples → per-subject expanded
+    node docs (groupBy(graph,subj) reconstitution) → parsed back to
+    triples with native from_json/explode. Output must equal the
+    original triple set (plain @value canonicalizes to xsd:string,
+    the RDF 1.1 default), making the node-doc JSON fully oracled."""
+    from json_ld_spark.operators.from_rdf_ops import (
+        node_docs_to_triples,
+        triples_to_node_docs,
+    )
 
-    return triples_to_node_docs(_triples(spark, sf_dir))
+    node_docs = triples_to_node_docs(_triples(spark, sf_dir))
+    return node_docs_to_triples(node_docs).select(*_TRIPLE_COLS)
 
 
 def q_kg_frame_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Framing as a distributed query: each conversation's triples
     framed into one nested Conversation document (frame = the
-    reference's declarative query language, SURVEY §2.8; no oracle:
-    nested JSON-LD text is not SQL-expressible)."""
+    reference's declarative query language, SURVEY §2.8), then the
+    framed JSON is relationally extracted (regexp over the tree) into
+    per-conv structure facts — turn indexes and nested mention labels
+    — that the SQL oracle recomputes from the base tables. Framing
+    prunes once-referenced bnode ids (frame.rb:220-266), so a
+    label-exact triple round-trip is impossible by design; content
+    extraction is the correct gate. Note the reference's own
+    re-embed semantics (frame.rb:49-54,196-206): each @reverse-framed
+    turn resets uniqueEmbeds, so the turn at chain rank r appears r
+    times — the oracle models exactly that."""
     from json_ld_spark.operators.output_docs import frame_conversations
 
-    return frame_conversations(_triples(spark, sf_dir))
+    framed = frame_conversations(_triples(spark, sf_dir))
+    # @embed @once within each reverse-framed subtree: extraction by
+    # key is exact regardless of nesting depth. The "label" filter
+    # drops the @context's own vocab-IRI entry.
+    idxs = F.sort_array(
+        F.transform(
+            F.regexp_extract_all(
+                "framed_json", F.lit(r'"kg:index":\s*(-?\d+)'), F.lit(1)
+            ),
+            lambda s: s.cast("int"),
+        )
+    )
+    labels = F.sort_array(
+        F.filter(
+            F.regexp_extract_all(
+                "framed_json", F.lit(r'"label":\s*"([^"]*)"'), F.lit(1)
+            ),
+            lambda s: ~s.contains("://"),
+        )
+    )
+    return framed.select(
+        "conv_id",
+        F.size(idxs).alias("n_turns"),
+        F.concat_ws(",", F.transform(idxs, lambda i: i.cast("string"))).alias(
+            "turn_idxs"
+        ),
+        F.size(labels).alias("n_mentions"),
+        F.concat_ws(",", labels).alias("mention_labels"),
+    )
 
 
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,7 +502,7 @@ def _simhash_oracle_sql(shingle: int = 4, n_bits: int = 60,
       FROM sig, range(0, {n_blocks}) t(b)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.sh, b.sh)) AS hamming
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
     FROM blk a JOIN blk b
       ON a.blk_i = b.blk_i AND a.key = b.key AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
@@ -714,7 +765,49 @@ def oracle_sql() -> dict[str, str]:
         " (sqrt(list_dot_product(ad, ad)) * sqrt(list_dot_product(bd, bd))), 4)"
     )
 
-    return {
+    # Framing parity detail (frame.rb:49-54 + frame.rb:196-206): each
+    # @reverse-framed turn is a top-level-property recursion, so the
+    # uniqueEmbeds map RESETS per turn and every turn re-embeds its
+    # full forward nextTurn chain. The turn at chain rank r therefore
+    # appears r times in the framed tree (and its mentions with it) —
+    # modeled by the b.rnk <= a.rnk self-join.
+    frame_sql = _MENTION_CTE + """
+        , t2 AS (
+          SELECT conv_id, turn_idx,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS rnk
+          FROM t
+        ),
+        texp AS (
+          SELECT a.conv_id, a.turn_idx
+          FROM t2 a JOIN t2 b
+            ON a.conv_id = b.conv_id AND b.rnk <= a.rnk
+        ),
+        turn_agg AS (
+          SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
+                 array_to_string(list_transform(
+                   list_sort(list(turn_idx)), x -> CAST(x AS VARCHAR)), ',')
+                   AS turn_idxs
+          FROM texp GROUP BY conv_id
+        ),
+        mexp AS (
+          SELECT m.conv_id, m.surface
+          FROM m
+          JOIN t2 a ON m.conv_id = a.conv_id AND m.turn_idx = a.turn_idx
+          JOIN t2 b ON a.conv_id = b.conv_id AND b.rnk <= a.rnk
+        ),
+        men_agg AS (
+          SELECT conv_id, CAST(count(*) AS INT) AS n_mentions,
+                 array_to_string(list_sort(list(surface)), ',')
+                   AS mention_labels
+          FROM mexp GROUP BY conv_id
+        )
+        SELECT ta.conv_id AS conv_id, ta.n_turns, ta.turn_idxs,
+               coalesce(ma.n_mentions, 0) AS n_mentions,
+               coalesce(ma.mention_labels, '') AS mention_labels
+        FROM turn_agg ta LEFT JOIN men_agg ma USING (conv_id)
+        """
+    d = {
         "transcripts_derive": f"SELECT conv_id, turn_idx, role, text, tool, ts FROM ({_T_CTE})",
         "turn_ordering": f"""
             SELECT conv_id, turn_idx,
@@ -935,3 +1028,12 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 3
         """,
     }
+    # round-trip oracles: the document queries must reproduce the full
+    # triple set exactly, so their oracle IS the proven triple SQL
+    d["kg_documents"] = (
+        f"SELECT * FROM ({d['kg_triples_meta']}) "
+        f"UNION ALL SELECT * FROM ({d['kg_triples_mentions']})"
+    )
+    d["kg_node_docs"] = d["kg_documents"]
+    d["kg_frame_conversations"] = frame_sql
+    return d

@@ -238,3 +238,16 @@ class BlankNodeNamer:
 
     def get_sym(self, old: str | None = None) -> str:
         return self.get_name(old)
+
+
+class BlankNodeMapper(BlankNodeNamer):
+    """Pass-through namer: keeps incoming labels verbatim, mints
+    ``prefix{n}`` only for anonymous nodes. Parity: utils.rb:245-264
+    (BlankNodeMapper). Used by round-trip paths where emitted triples
+    must carry the exact labels of the input triples."""
+
+    def get_name(self, old: str | None = None) -> str:
+        if old is not None:
+            self.mapping[old] = old
+            return old
+        return super().get_name()

@@ -92,6 +92,73 @@ def triples_to_node_docs(triples: DataFrame) -> DataFrame:
     )
 
 
+RDF_LANGSTRING = RDFNS + "langString"
+
+_NODE_SCHEMA = (
+    "struct<`@id`:string, `@type`:array<string>, "
+    "properties:map<string,array<string>>>"
+)
+_OBJ_SCHEMA = (
+    "struct<`@id`:string, `@value`:string, `@type`:string, "
+    "`@language`:string>"
+)
+
+
+def node_docs_to_triples(node_docs: DataFrame) -> DataFrame:
+    """Inverse of triples_to_node_docs: parse node_json back into
+    triple rows — entirely with native from_json/explode (no Python).
+
+    Used as the round-trip correctness gate: triples → node docs →
+    triples must reproduce the original triple set exactly, which lets
+    the DuckDB triple oracle validate the JSON document content
+    end-to-end. Canonicalization on the way back (faithful to RDF 1.1
+    semantics): plain @value → xsd:string (the default literal
+    datatype); @language → rdf:langString; graph '@default' → NULL.
+    """
+    parsed = node_docs.select(
+        F.when(F.col("graph") == "@default", F.lit(None))
+        .otherwise(F.col("graph")).alias("graph"),
+        F.from_json("node_json", _NODE_SCHEMA).alias("n"),
+    )
+    type_triples = parsed.select(
+        F.col("n.`@id`").alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.explode("n.`@type`").alias("obj_value"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_language"),
+        F.col("graph"),
+    )
+    props = (
+        parsed.select(
+            "graph",
+            F.col("n.`@id`").alias("subj"),
+            F.explode("n.properties").alias("pred", "objs"),
+        )
+        # generators can't nest inside expressions: explode to a plain
+        # column first, parse in the next projection
+        .select("graph", "subj", "pred", F.explode("objs").alias("obj_json"))
+        .select(
+            "graph", "subj", "pred",
+            F.from_json("obj_json", _OBJ_SCHEMA).alias("o"),
+        )
+    )
+    is_iri = F.col("o.`@id`").isNotNull()
+    prop_triples = props.select(
+        "subj",
+        "pred",
+        F.coalesce(F.col("o.`@id`"), F.col("o.`@value`")).alias("obj_value"),
+        is_iri.alias("obj_is_iri"),
+        F.when(is_iri, F.lit(None).cast("string"))
+        .when(F.col("o.`@language`").isNotNull(), F.lit(RDF_LANGSTRING))
+        .otherwise(F.coalesce(F.col("o.`@type`"), F.lit(XSD_STRING)))
+        .alias("obj_datatype"),
+        F.col("o.`@language`").alias("obj_language"),
+        "graph",
+    )
+    return type_triples.unionByName(prop_triples)
+
+
 def reconstitute_lists(triples: DataFrame, max_iter: int = 12) -> DataFrame:
     """(head, items, depth, exhausted): rdf:first/rest chains collapsed
     by POINTER DOUBLING — each round joins every unfinished chain state

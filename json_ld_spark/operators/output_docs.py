@@ -71,6 +71,74 @@ def triples_to_documents(triples: DataFrame) -> DataFrame:
     )
 
 
+def documents_to_triples(
+    docs: DataFrame, json_col: str = "doc_json"
+) -> DataFrame:
+    """Inverse of triples_to_documents: expand each compacted JSON-LD
+    document and re-emit its triples with a pass-through bnode namer
+    (labels preserved verbatim). Parity: Reader (reader.rb:76-121) —
+    documents back to statements.
+
+    This closes the round-trip correctness gate for the writer path:
+    triples → fromRdf+compact → expand+toRdf must reproduce the
+    original triple set exactly (incl. bnode labels), so the DuckDB
+    triple oracle validates the document JSON end-to-end."""
+
+    def _emit(batches) -> "Iterator[pd.DataFrame]":
+        from json_ld_spark.core import api as core_api
+        from json_ld_spark.core.keywords import BlankNodeMapper
+
+        for pdf in batches:
+            rows = []
+            for doc_json in pdf[json_col]:
+                doc = json.loads(doc_json)
+                for t in core_api.to_rdf(doc, namer=BlankNodeMapper()):
+                    subj = (
+                        "_:" + t.subject.value
+                        if t.subject.kind == "bnode"
+                        else t.subject.value
+                    )
+                    obj_is_iri = t.obj.kind != "literal"
+                    obj_value = (
+                        "_:" + t.obj.value
+                        if t.obj.kind == "bnode"
+                        else t.obj.value
+                    )
+                    rows.append(
+                        (
+                            subj,
+                            t.predicate.value,
+                            obj_value,
+                            obj_is_iri,
+                            None if obj_is_iri else t.obj.datatype,
+                            None if obj_is_iri else t.obj.language,
+                            (
+                                "_:" + t.graph.value
+                                if t.graph.kind == "bnode"
+                                else t.graph.value
+                            )
+                            if t.graph is not None
+                            else None,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "subj", "pred", "obj_value", "obj_is_iri",
+                    "obj_datatype", "obj_language", "graph",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _emit,
+        schema=(
+            "subj string, pred string, obj_value string, "
+            "obj_is_iri boolean, obj_datatype string, "
+            "obj_language string, graph string"
+        ),
+    )
+
+
 def frame_conversations(triples: DataFrame) -> DataFrame:
     """(conv_id, framed_json): frame each conversation's triples into
     one nested Conversation document — framing (the reference's
@@ -111,8 +179,20 @@ def frame_conversations(triples: DataFrame) -> DataFrame:
                 )
             trs.append(Triple(s, p, o, None))
         expanded = core_api.from_rdf(trs, use_native_types=True)
+        # @container @set on turns/mentions: arrays stay arrays even
+        # when singletons, so downstream relational extraction
+        # (from_json with a fixed array schema) never sees a bare
+        # object — semantically neutral, shape-stabilizing
         frame = {
-            "@context": {**KG_CONTEXT, "turns": {"@reverse": VOCAB + "partOf"}},
+            "@context": {
+                **KG_CONTEXT,
+                "turns": {"@reverse": VOCAB + "partOf", "@container": "@set"},
+                "mentions": {
+                    "@id": VOCAB + "mentions",
+                    "@type": "@id",
+                    "@container": "@set",
+                },
+            },
             "@id": CONV_NS + conv_id,
             "turns": {},
         }

@@ -16,13 +16,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _norm(v):
-    if isinstance(v, float):
+    # every value wrapped as (tag, payload) so sort keys stay
+    # homogeneous per column even when NULLs mix with ints/strings
+    if v is None:
+        return (0, "")
+    if isinstance(v, bool):
+        return (1, int(v))
+    if isinstance(v, float) or str(type(v).__name__) == "Decimal":
+        v = float(v)
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return (1, "NaN")
+        return (1, round(v, 9))
     if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    return v
+        return (1, tuple(_norm(x) for x in v))
+    return (1, v)
 
 
 def main() -> int:
