@@ -432,6 +432,65 @@ def q_kg_frame_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ALIAS_SUFFIX = "-alias-form"
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def _alias_rows() -> list[tuple[str, str]]:
+    """Planted alias table: every gazetteer entity plus a variant IRI
+    whose surface is a case variant (identical lowercased shingle set
+    → certain minhash candidate → Jaccard 1 → must merge), plus two
+    negative controls with dissimilar surfaces that must NOT merge.
+    Variant IRIs sort after their canonical (suffix appended), so the
+    component minimum — the canonical head — is the original IRI."""
+    from json_ld_spark.sources.gazetteer import GAZETTEER, entity_iri
+
+    rows: list[tuple[str, str]] = []
+    for _eid, surface, suffix in GAZETTEER:
+        rows.append((entity_iri(suffix), surface))
+        rows.append((entity_iri(suffix) + _ALIAS_SUFFIX, surface.upper()))
+    rows.append(
+        ("https://example.org/kg/entity/neg-a", "completely unrelated surface one")
+    )
+    rows.append(
+        ("https://example.org/kg/entity/neg-b", "entirely different phrasing two")
+    )
+    return rows
+
+
+def q_canonicalized_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end canonicalization (north rule): the REAL minhash
+    blocking → Jaccard verify → connected components → merge map
+    pipeline (pipeline.alias_merge_map) over a planted alias table,
+    applied to the triple table with apply_merge_map. Output =
+    relabeled entity-link triples (planted variant IRIs on odd turns
+    must come back canonical) UNION the merge map as owl:sameAs rows.
+    The oracle predicts both exactly — wrong merge direction, a
+    missed pair, or a spurious (negative-control) merge all fail."""
+    from json_ld_spark.operators.canonicalize import apply_merge_map
+    from json_ld_spark.pipeline import alias_merge_map
+
+    aliases = spark.createDataFrame(
+        _alias_rows(), "entity_iri string, surface string"
+    )
+    mm = alias_merge_map(spark, aliases)
+    of = _triples(spark, sf_dir).filter(F.col("pred") == VOCAB + "of")
+    planted = of.withColumn(
+        "obj_value",
+        F.when(
+            F.col("turn_idx") % 2 == 1,
+            F.concat(F.col("obj_value"), F.lit(_ALIAS_SUFFIX)),
+        ).otherwise(F.col("obj_value")),
+    ).select("subj", "pred", "obj_value")
+    fixed = apply_merge_map(planted, mm)
+    map_triples = mm.select(
+        F.col("from_id").alias("subj"),
+        F.lit(OWL_SAMEAS).alias("pred"),
+        F.col("to_id").alias("obj_value"),
+    )
+    return fixed.unionByName(map_triples)
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.operators.dedup import exact_dedup
 
@@ -687,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_documents": q_kg_documents,
         "kg_node_docs": q_kg_node_docs,
         "kg_frame_conversations": q_kg_frame_conversations,
+        "canonicalized_triples": q_canonicalized_triples,
         "dedup_keep": q_dedup_keep,
         "events_sessionize": q_events_sessionize,
         "lineitem_agg": q_lineitem_agg,
@@ -1036,4 +1096,13 @@ def oracle_sql() -> dict[str, str]:
     )
     d["kg_node_docs"] = d["kg_documents"]
     d["kg_frame_conversations"] = frame_sql
+    # canonicalization: merging the planted odd-turn variant IRIs back
+    # is an identity on the entity-link triples; the merge map itself
+    # is one owl:sameAs row per gazetteer entity (variant → canonical)
+    d["canonicalized_triples"] = _MENTION_CTE + f"""
+        SELECT bn AS subj, '{VOCAB}of' AS pred, iri AS obj_value FROM b
+        UNION ALL
+        SELECT iri || '{_ALIAS_SUFFIX}', '{OWL_SAMEAS}', iri
+        FROM {_gazetteer_values()}
+        """
     return d

@@ -80,6 +80,7 @@ def main() -> None:
         "dedup_keep",
         "kg_node_docs",
         "kg_frame_conversations",
+        "canonicalized_triples",
         "minhash_components",
     ]
     qmap = entry.queries()
