@@ -7,6 +7,24 @@ writer.rb:313-364) buffers statements and serializes via fromRdf +
 optional compaction; here the buffer is a DataFrame group and the
 serialization runs in applyInPandas per conv_id — compaction is a
 downstream view of the triple table (SURVEY §2.1 Writer row).
+
+Skew guard (salt-and-restitch): a pathological mega-conversation is a
+single applyInPandas group — one straggler task holding every triple.
+Conversations above ``max_group_triples`` instead run a two-stage
+path: (1) fromRdf over SUBJECT-SALTED partials — exact, because node
+reconstitution is per-subject and a subject's triples always share a
+salt — then (2) a per-conv merge of the partial expanded-node arrays
+with a single compact/frame pass. Stage 2 is still one task per conv
+(document semantics demand it) but its input is pre-reduced JSON
+nodes, so the linear fromRdf work is spread over ``n_salts`` tasks.
+Caveat: partial fromRdf cannot collapse rdf:first/rest chains that
+span salts (list cells are distinct subjects); the KG emission path
+produces no lists, and corpora that do should keep such convs on the
+direct path.
+
+Determinism: triples are sorted before fromRdf in every path, so the
+emitted document JSON is byte-stable regardless of shuffle order and
+the salted path restitches to exactly the direct path's output.
 """
 
 from __future__ import annotations
@@ -16,59 +34,159 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from json_ld_spark.sources.gazetteer import KG_CONTEXT
 
+_PARTIAL_SCHEMA = "conv_id string, part_json string"
+_DOC_SCHEMA = "conv_id string, doc_json string"
+_FRAME_SCHEMA = "conv_id string, framed_json string"
 
-def triples_to_documents(triples: DataFrame) -> DataFrame:
+
+def _pdf_to_core_triples(pdf: pd.DataFrame):
+    """Arrow batch of triple rows → sorted list of core Triples.
+
+    Sorting makes fromRdf's node/property order independent of
+    shuffle order (byte-stable doc output; the salted restitch relies
+    on it)."""
+    from json_ld_spark.core.rdf import Term, Triple
+
+    raw = []
+    for subj, pred, obj_value, obj_is_iri, obj_dt, obj_lang in zip(
+        pdf["subj"], pdf["pred"], pdf["obj_value"], pdf["obj_is_iri"],
+        pdf["obj_datatype"], pdf["obj_language"],
+    ):
+        dt = obj_dt if pd.notna(obj_dt) else None
+        lang = obj_lang if pd.notna(obj_lang) else None
+        raw.append((subj, pred, obj_value, bool(obj_is_iri), dt, lang))
+    raw.sort(key=lambda r: (r[0], r[1], r[2], r[4] or "", r[5] or ""))
+    trs = []
+    for subj, pred, obj_value, obj_is_iri, dt, lang in raw:
+        s = Term("bnode", subj[2:]) if subj.startswith("_:") else Term("iri", subj)
+        p = Term("iri", pred)
+        if obj_is_iri:
+            o = (
+                Term("bnode", obj_value[2:])
+                if obj_value.startswith("_:")
+                else Term("iri", obj_value)
+            )
+        else:
+            o = Term("literal", obj_value, dt, lang)
+        trs.append(Triple(s, p, o, None))
+    return trs
+
+
+def _valid(triples: DataFrame) -> DataFrame:
+    if "error_code" in triples.columns:
+        return triples.filter(triples["error_code"].isNull())
+    return triples
+
+
+def _split_by_size(
+    triples: DataFrame, max_group_triples: int
+) -> tuple[DataFrame, DataFrame]:
+    """(small, big): big = conversations whose triple count exceeds
+    the threshold. The count side is conv-level (tiny) and broadcast —
+    the triple table is scanned, never shuffled, for the split."""
+    # materialize once: the count scan and both branches would each
+    # re-derive the (expensive) upstream emission pipeline otherwise
+    triples = triples.localCheckpoint()
+    big_ids = (
+        triples.groupBy("conv_id")
+        .count()
+        .filter(F.col("count") > max_group_triples)
+        .select("conv_id")
+    )
+    small = triples.join(F.broadcast(big_ids), "conv_id", "left_anti")
+    big = triples.join(F.broadcast(big_ids), "conv_id", "semi")
+    return small, big
+
+
+def _salted_partials(big: DataFrame, n_salts: int) -> DataFrame:
+    """(conv_id, part_json): fromRdf over subject-salted sub-groups.
+    Subject-hash salting keeps every subject's triples in one partial,
+    so per-partial node reconstitution is exact."""
+
+    def _partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        from json_ld_spark.core import api as core_api
+
+        conv_id = pdf["conv_id"].iloc[0]
+        expanded = core_api.from_rdf(
+            _pdf_to_core_triples(pdf), use_native_types=True
+        )
+        return pd.DataFrame(
+            {"conv_id": [conv_id], "part_json": [json.dumps(expanded)]}
+        )
+
+    salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64("subj"), F.lit(n_salts)).cast("int")
+    )
+    return salted.groupBy("conv_id", "_salt").applyInPandas(
+        _partial, schema=_PARTIAL_SCHEMA
+    )
+
+
+def _merge_parts(pdf: pd.DataFrame) -> list:
+    nodes: list = []
+    for pj in pdf["part_json"]:
+        nodes.extend(json.loads(pj))
+    # both paths sort the expanded node array by @id before
+    # compact/frame, so restitch output is byte-identical to direct
+    nodes.sort(key=lambda n: n.get("@id", ""))
+    return nodes
+
+
+def triples_to_documents(
+    triples: DataFrame,
+    max_group_triples: int = 50_000,
+    n_salts: int = 16,
+) -> DataFrame:
     """(conv_id, doc_json): one compacted JSON-LD document per
     conversation, reassembled from its triples.
 
-    groupBy(conv_id).applyInPandas — each group is one conversation's
-    triples (bounded by conversation size; the same salting story as
-    the forward path applies for pathological conversations)."""
+    groupBy(conv_id).applyInPandas for normal conversations; the
+    salt-and-restitch path (module docstring) for conversations above
+    ``max_group_triples``."""
 
     def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         from json_ld_spark.core import api as core_api
-        from json_ld_spark.core.rdf import Term, Triple
 
         conv_id = pdf["conv_id"].iloc[0]
-        trs = []
-        for subj, pred, obj_value, obj_is_iri, obj_dt, obj_lang in zip(
-            pdf["subj"], pdf["pred"], pdf["obj_value"], pdf["obj_is_iri"],
-            pdf["obj_datatype"], pdf["obj_language"],
-        ):
-            s = (
-                Term("bnode", subj[2:])
-                if subj.startswith("_:")
-                else Term("iri", subj)
-            )
-            p = Term("iri", pred)
-            if obj_is_iri:
-                o = (
-                    Term("bnode", obj_value[2:])
-                    if obj_value.startswith("_:")
-                    else Term("iri", obj_value)
-                )
-            else:
-                o = Term(
-                    "literal", obj_value,
-                    obj_dt if pd.notna(obj_dt) else None,
-                    obj_lang if pd.notna(obj_lang) else None,
-                )
-            trs.append(Triple(s, p, o, None))
-        expanded = core_api.from_rdf(trs, use_native_types=True)
+        expanded = core_api.from_rdf(
+            _pdf_to_core_triples(pdf), use_native_types=True
+        )
+        expanded.sort(key=lambda n: n.get("@id", ""))
         compacted = core_api.compact(
             expanded, {"@context": KG_CONTEXT}, expanded_input=True
         )
         return pd.DataFrame(
-            {"conv_id": [conv_id], "doc_json": [json.dumps(compacted, sort_keys=True)]}
+            {"conv_id": [conv_id],
+             "doc_json": [json.dumps(compacted, sort_keys=True)]}
         )
 
-    valid = triples.filter(triples["error_code"].isNull()) if "error_code" in triples.columns else triples
-    return valid.groupBy("conv_id").applyInPandas(
-        _assemble, schema="conv_id string, doc_json string"
+    def _restitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        from json_ld_spark.core import api as core_api
+
+        conv_id = pdf["conv_id"].iloc[0]
+        compacted = core_api.compact(
+            _merge_parts(pdf), {"@context": KG_CONTEXT}, expanded_input=True
+        )
+        return pd.DataFrame(
+            {"conv_id": [conv_id],
+             "doc_json": [json.dumps(compacted, sort_keys=True)]}
+        )
+
+    valid = _valid(triples)
+    small, big = _split_by_size(valid, max_group_triples)
+    out_small = small.groupBy("conv_id").applyInPandas(
+        _assemble, schema=_DOC_SCHEMA
     )
+    out_big = (
+        _salted_partials(big, n_salts)
+        .groupBy("conv_id")
+        .applyInPandas(_restitch, schema=_DOC_SCHEMA)
+    )
+    return out_small.unionByName(out_big)
 
 
 def documents_to_triples(
@@ -139,74 +257,76 @@ def documents_to_triples(
     )
 
 
-def frame_conversations(triples: DataFrame) -> DataFrame:
+def _conversation_frame(conv_id: str) -> dict:
+    from json_ld_spark.sources.gazetteer import CONV_NS, VOCAB
+
+    # @container @set on turns/mentions: arrays stay arrays even when
+    # singletons, so downstream relational extraction never sees a
+    # bare object — semantically neutral, shape-stabilizing
+    return {
+        "@context": {
+            **KG_CONTEXT,
+            "turns": {"@reverse": VOCAB + "partOf", "@container": "@set"},
+            "mentions": {
+                "@id": VOCAB + "mentions",
+                "@type": "@id",
+                "@container": "@set",
+            },
+        },
+        "@id": CONV_NS + conv_id,
+        "turns": {},
+    }
+
+
+def frame_conversations(
+    triples: DataFrame,
+    max_group_triples: int = 50_000,
+    n_salts: int = 16,
+) -> DataFrame:
     """(conv_id, framed_json): frame each conversation's triples into
     one nested Conversation document — framing (the reference's
     declarative query language, frame.rb:26-215) run distributed,
     one frame evaluation per conversation group.
 
     The frame matches the Conversation node and embeds its turns via
-    @reverse partOf, so the output nests turn → mention chains."""
+    @reverse partOf, so the output nests turn → mention chains.
 
-    def _frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    Mega-conversations take the salt-and-restitch path for the fromRdf
+    stage; the frame evaluation itself is inherently one task per
+    document (its recursive embedding needs the whole node map), but
+    it then consumes pre-reduced JSON nodes instead of raw triples."""
+
+    def _frame_nodes(conv_id: str, expanded: list) -> pd.DataFrame:
         from json_ld_spark.core import api as core_api
-        from json_ld_spark.core.rdf import Term, Triple
-        from json_ld_spark.sources.gazetteer import CONV_NS, VOCAB
 
-        conv_id = pdf["conv_id"].iloc[0]
-        trs = []
-        for subj, pred, obj_value, obj_is_iri, obj_dt, obj_lang in zip(
-            pdf["subj"], pdf["pred"], pdf["obj_value"], pdf["obj_is_iri"],
-            pdf["obj_datatype"], pdf["obj_language"],
-        ):
-            s = (
-                Term("bnode", subj[2:])
-                if subj.startswith("_:")
-                else Term("iri", subj)
-            )
-            p = Term("iri", pred)
-            if obj_is_iri:
-                o = (
-                    Term("bnode", obj_value[2:])
-                    if obj_value.startswith("_:")
-                    else Term("iri", obj_value)
-                )
-            else:
-                o = Term(
-                    "literal", obj_value,
-                    obj_dt if pd.notna(obj_dt) else None,
-                    obj_lang if pd.notna(obj_lang) else None,
-                )
-            trs.append(Triple(s, p, o, None))
-        expanded = core_api.from_rdf(trs, use_native_types=True)
-        # @container @set on turns/mentions: arrays stay arrays even
-        # when singletons, so downstream relational extraction
-        # (from_json with a fixed array schema) never sees a bare
-        # object — semantically neutral, shape-stabilizing
-        frame = {
-            "@context": {
-                **KG_CONTEXT,
-                "turns": {"@reverse": VOCAB + "partOf", "@container": "@set"},
-                "mentions": {
-                    "@id": VOCAB + "mentions",
-                    "@type": "@id",
-                    "@container": "@set",
-                },
-            },
-            "@id": CONV_NS + conv_id,
-            "turns": {},
-        }
-        framed = core_api.frame(expanded, frame)
+        framed = core_api.frame(expanded, _conversation_frame(conv_id))
         return pd.DataFrame(
             {"conv_id": [conv_id],
              "framed_json": [json.dumps(framed, sort_keys=True)]}
         )
 
-    valid = (
-        triples.filter(triples["error_code"].isNull())
-        if "error_code" in triples.columns
-        else triples
+    def _frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        from json_ld_spark.core import api as core_api
+
+        conv_id = pdf["conv_id"].iloc[0]
+        expanded = core_api.from_rdf(
+            _pdf_to_core_triples(pdf), use_native_types=True
+        )
+        expanded.sort(key=lambda n: n.get("@id", ""))
+        return _frame_nodes(conv_id, expanded)
+
+    def _restitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id = pdf["conv_id"].iloc[0]
+        return _frame_nodes(conv_id, _merge_parts(pdf))
+
+    valid = _valid(triples)
+    small, big = _split_by_size(valid, max_group_triples)
+    out_small = small.groupBy("conv_id").applyInPandas(
+        _frame, schema=_FRAME_SCHEMA
     )
-    return valid.groupBy("conv_id").applyInPandas(
-        _frame, schema="conv_id string, framed_json string"
+    out_big = (
+        _salted_partials(big, n_salts)
+        .groupBy("conv_id")
+        .applyInPandas(_restitch, schema=_FRAME_SCHEMA)
     )
+    return out_small.unionByName(out_big)

@@ -43,3 +43,56 @@ def test_documents_roundtrip(spark):
             t.subject.value for t in regenerated if t.subject.kind == "iri"
         }
         assert turn_subjects <= regen_subjects
+
+
+def test_salted_restitch_equals_direct(spark):
+    """A mega-conversation forced through the salt-and-restitch path
+    must produce byte-identical documents to the direct path (subject
+    salting keeps node reconstitution exact; deterministic triple
+    sorting makes the restitch order-stable)."""
+    from json_ld_spark.operators.output_docs import frame_conversations
+
+    tx = synthesize_transcripts(spark, n_convs=40)  # power-law tail
+    triples = valid_triples(emit_triples(tx)).localCheckpoint()
+    direct = {
+        r["conv_id"]: r["doc_json"]
+        for r in triples_to_documents(
+            triples, max_group_triples=10**9
+        ).collect()
+    }
+    salted = {
+        r["conv_id"]: r["doc_json"]
+        for r in triples_to_documents(
+            triples, max_group_triples=1, n_salts=4
+        ).collect()
+    }
+    assert direct == salted
+    fr_direct = {
+        r["conv_id"]: r["framed_json"]
+        for r in frame_conversations(
+            triples, max_group_triples=10**9
+        ).collect()
+    }
+    fr_salted = {
+        r["conv_id"]: r["framed_json"]
+        for r in frame_conversations(
+            triples, max_group_triples=1, n_salts=4
+        ).collect()
+    }
+    assert fr_direct == fr_salted
+
+
+def test_salted_path_splits_straggler_groups(spark):
+    """The salted fromRdf stage must fan a mega-conversation out over
+    multiple tasks: partial count per conv > 1 (no single straggler
+    holds the whole conversation's fromRdf work)."""
+    from json_ld_spark.operators.output_docs import _salted_partials
+
+    tx = synthesize_transcripts(spark, n_convs=40)
+    triples = valid_triples(emit_triples(tx)).localCheckpoint()
+    biggest = (
+        triples.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    )
+    big = triples.filter(F.col("conv_id") == biggest["conv_id"])
+    parts = _salted_partials(big, n_salts=8).count()
+    assert parts > 1
