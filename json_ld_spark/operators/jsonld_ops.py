@@ -278,6 +278,66 @@ def emit_triples(
     return triples
 
 
+EXPAND_SCHEMA = (
+    "doc_id long, expanded_json string, error_code string, error_msg string"
+)
+
+
+def expand_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    json_col: str = "doc_json",
+    contexts: "dict | None" = None,
+    base: "str | None" = None,
+) -> DataFrame:
+    """Distributed JSON-LD expansion for ARBITRARY documents (not just
+    pipeline-synthesized turns): each row's JSON is expanded with the
+    vendored-context registry standing in for remote fetch.
+
+    Parity: API.expand + loadRemoteDocument (api.rb:109-156,624-718)
+    with the registry replacing HTTP (context_registry module). A
+    document whose @context names an unregistered remote IRI comes
+    back as a quarantine row with the spec error code
+    ``loading remote context failed`` — never a task failure, never a
+    silent misexpansion. Registry lookups are cached per context hash
+    (parse_context_cached), so N documents sharing a context parse it
+    once per executor."""
+    from json_ld_spark.sources.context_registry import registry_snapshot
+
+    registry = registry_snapshot(contexts)
+
+    def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        from json_ld_spark.core import api as core_api
+        from json_ld_spark.core.context import Options
+        from json_ld_spark.core.errors import JsonLdError
+
+        options = Options(base=base, contexts=registry)
+        for pdf in batches:
+            rows = []
+            for doc_id, doc_json in zip(pdf[id_col], pdf[json_col]):
+                try:
+                    doc = _json.loads(doc_json)
+                    expanded = core_api.expand(doc, options)
+                    rows.append(
+                        (int(doc_id), _json.dumps(expanded), None, None)
+                    )
+                except JsonLdError as e:
+                    rows.append((int(doc_id), None, e.code, str(e)))
+                except ValueError as e:  # malformed JSON text
+                    rows.append((int(doc_id), None, "loading document failed",
+                                 str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "expanded_json", "error_code", "error_msg"],
+            )
+
+    return docs.select(
+        F.col(id_col).alias(id_col), F.col(json_col).alias(json_col)
+    ).mapInPandas(_expand, schema=EXPAND_SCHEMA)
+
+
 def quarantined(triples: DataFrame) -> DataFrame:
     return triples.filter(F.col("error_code").isNotNull())
 

@@ -165,3 +165,57 @@ def test_pipeline_partial_failure_resume(spark, transcripts, tmp_path):
     assert after == full_count, (
         f"partial-failure resume changed the sink: {after} != {full_count}"
     )
+
+
+def test_expand_documents_registry_and_quarantine(spark):
+    """Arbitrary docs expand via the vendored-context registry; an
+    unregistered remote @context IRI quarantines with the spec code
+    'loading remote context failed' (parity api.rb:624-718) instead of
+    failing the job or misexpanding."""
+    import json
+
+    from json_ld_spark.operators.jsonld_ops import expand_documents
+    from json_ld_spark.sources.gazetteer import CONTEXT_URL, VOCAB
+
+    rows = [
+        (1, json.dumps({"@context": CONTEXT_URL,
+                        "@id": "http://e/x", "role": "user"})),
+        (2, json.dumps({"@context": "https://unknown.example/ctx",
+                        "@id": "http://e/y", "p": 1})),
+        (3, "{not json"),
+        (4, json.dumps({"@context": {"q": "http://e/q#"},
+                        "@id": "http://e/z", "q:v": "ok"})),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, doc_json string")
+    out = {r["doc_id"]: r for r in expand_documents(docs).collect()}
+    ok = json.loads(out[1]["expanded_json"])
+    assert ok[0][VOCAB + "role"] == [{"@value": "user"}]
+    assert out[2]["error_code"] == "loading remote context failed"
+    assert out[2]["expanded_json"] is None
+    assert out[3]["error_code"] == "loading document failed"
+    assert json.loads(out[4]["expanded_json"])[0]["http://e/q#v"] == [
+        {"@value": "ok"}
+    ]
+
+
+def test_expand_documents_extra_registry_entry(spark):
+    """Per-call context registration (the ingest-time vendoring path)."""
+    import json
+
+    from json_ld_spark.operators.jsonld_ops import expand_documents
+
+    docs = spark.createDataFrame(
+        [(1, json.dumps({"@context": "https://vendored.example/v1",
+                         "name": "n"}))],
+        "doc_id long, doc_json string",
+    )
+    extra = {
+        "https://vendored.example/v1": {
+            "@context": {"name": "http://e/vocab#name"}
+        }
+    }
+    out = expand_documents(docs, contexts=extra).collect()[0]
+    assert out["error_code"] is None
+    assert json.loads(out["expanded_json"])[0]["http://e/vocab#name"] == [
+        {"@value": "n"}
+    ]
