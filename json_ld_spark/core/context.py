@@ -702,7 +702,10 @@ class Context:
             return {
                 "@id": self.expand_iri(value, vocab=True, document_relative=True)
             }
-        result: dict[str, Any] = {"@value": value}
+        # key order parity (context.rb:1632-1643): @type/@language/
+        # @direction precede @value — the streaming reader's key-order
+        # state machine depends on it (@value closes the await states)
+        result: dict[str, Any] = {}
         if type_mapping not in (None, "@id", "@vocab", "@none"):
             result["@type"] = type_mapping
         elif isinstance(value, str):
@@ -720,6 +723,7 @@ class Context:
                 result["@language"] = language
             if direction is not None:
                 result["@direction"] = direction
+        result["@value"] = value
         return result
 
     # -- inverse context (spec §4.3) -----------------------------------

@@ -53,6 +53,7 @@ INVALID_REVERSE_PROPERTY_VALUE = "invalid reverse property value"
 INVALID_REVERSE_VALUE = "invalid @reverse value"
 INVALID_SCOPED_CONTEXT = "invalid scoped context"
 INVALID_SET_OR_LIST_OBJECT = "invalid set or list object"
+INVALID_STREAMING_KEY_ORDER = "invalid streaming key order"
 INVALID_TERM_DEFINITION = "invalid term definition"
 INVALID_TYPE_MAPPING = "invalid type mapping"
 INVALID_TYPE_VALUE = "invalid type value"

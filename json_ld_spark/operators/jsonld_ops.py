@@ -71,11 +71,15 @@ def build_turn_document(
     the per-doc namer relabels them in first-visit order, mirroring the
     provisional-id pattern of streaming_reader.rb:97-137.
     """
+    # streaming-profile key order (@type before @id): the docs this
+    # pipeline emits are consumable by the raw streaming reader
+    # (core/streaming_reader.py) without provisional buffering —
+    # expansion is key-order-insensitive, so triples are unchanged
     doc: dict = {
-        "@id": turn_iri(conv_id, turn_idx),
         "@type": "Turn",
+        "@id": turn_iri(conv_id, turn_idx),
         "index": int(turn_idx),
-        "partOf": {"@id": conv_iri(conv_id), "@type": "Conversation"},
+        "partOf": {"@type": "Conversation", "@id": conv_iri(conv_id)},
     }
     if role is not None:
         doc["role"] = role
@@ -90,8 +94,8 @@ def build_turn_document(
     if mentions:
         doc["mentions"] = [
             {
-                "@id": f"_:m{eid}",
                 "@type": "Mention",
+                "@id": f"_:m{eid}",
                 "label": surface,
                 "score": int(count),
                 "of": entity_iri_by_id(eid),
