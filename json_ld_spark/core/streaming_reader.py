@@ -27,6 +27,13 @@ The note at streaming_reader.rb:32 applies here too: the JSON text is
 parsed up front (Python dicts preserve document key order); the
 "streaming" property is single-pass traversal + incremental emission
 + key-order enforcement, exactly as the reference implements it.
+
+Role in the Spark engine: this is the raw-profile PARITY surface, not
+the emission hot path — measured head-to-head on pipeline turn docs,
+expand_with_context + expanded_to_rdf_stream is ~1.7× faster (its
+expand loop is memoization-heavy; the state machine pays per-key
+dispatch), so the mapInPandas emitter keeps the expand path and this
+module serves arbitrary streaming-profile inputs + conformance.
 """
 
 from __future__ import annotations

@@ -85,18 +85,22 @@ def md5_hash60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def simhash_sig(text_col, shingle: int = 4, n_bits: int = 64, hash_fn=None):
+def simhash_sig(text_col, shingle: int = 4, n_bits: int = 64, hash_fn=None,
+                pre_lowered: bool = False):
     """n_bits-wide SimHash over character shingles, as ONE JVM
     aggregate: the accumulator is an array of n_bits vote counters
     updated per shingle hash (a single expression tree — 64 separate
     aggregates made codegen explode and cost seconds of compile per
     query). hash_fn maps a shingle column to a long (default
     xxhash64; md5_hash60 with n_bits=60 for the cross-engine family).
+    pre_lowered: ``text_col`` is an already-lowercased staged column —
+    interpreted HOFs re-evaluate a captured lower() per element
+    (see char_shingles), so callers stage it.
     """
-    lowered = F.lower(text_col)
+    lowered = text_col if pre_lowered else F.lower(text_col)
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(lowered) - (shingle - 1), F.lit(1))),
-        lambda i: F.substring(lowered, 1, 2147483647).substr(i, F.lit(shingle)),
+        lambda i: lowered.substr(i, F.lit(shingle)),
     )
     hashes = F.transform(shingles, hash_fn or (lambda s: F.xxhash64(s)))
     # per-bit masks as a literal array (bit 63 = the sign bit as a
@@ -149,12 +153,14 @@ def simhash_neardup_pairs(
     if hash_family == "md5":
         n_bits, block_bits = 60, 15
         sig_col = simhash_sig(
-            F.col(text_col), n_bits=n_bits, hash_fn=md5_hash60
+            F.col("_lt"), n_bits=n_bits, hash_fn=md5_hash60, pre_lowered=True
         )
     else:
         n_bits = 64
-        sig_col = simhash64(F.col(text_col))
-    sig = docs.select(F.col(id_col).alias("_id"), sig_col.alias("_sh"))
+        sig_col = simhash_sig(F.col("_lt"), pre_lowered=True)
+    sig = docs.select(
+        F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt")
+    ).select("_id", sig_col.alias("_sh"))
     mask = (1 << block_bits) - 1
     blocked = sig.select(
         "_id",
@@ -212,12 +218,16 @@ def ngram_jaccard_pairs(
     g = docs.select(F.col(id_col).alias("_id"), grams.alias("_grams")).select(
         "_id",
         "_grams",
+        F.size("_grams").alias("_n"),
         F.array_min(F.transform("_grams", lambda s: F.md5(s))).alias("_blk"),
     )
     # materialize before the self-join: otherwise the (expensive,
     # interpreted) gram computation runs once per join side
     g = g.localCheckpoint()
     a, b = g.alias("a"), g.alias("b")
+    # |A∪B| = |A|+|B|−|A∩B| (distinct arrays): only the intersection
+    # is computed per pair; union is arithmetic — same value exactly
+    inter = F.size(F.array_intersect("a._grams", "b._grams"))
     return (
         a.join(
             b,
@@ -226,10 +236,12 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            (
-                F.size(F.array_intersect("a._grams", "b._grams"))
-                / F.size(F.array_union("a._grams", "b._grams"))
-            ).alias("jaccard"),
+            inter.alias("_i"),
+            (F.col("a._n") + F.col("b._n")).alias("_nn"),
+        )
+        .select(
+            "id_a", "id_b",
+            (F.col("_i") / (F.col("_nn") - F.col("_i"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -247,16 +259,27 @@ def embedding_neardup_pairs(
     ``block_col`` is the bucket (a cluster/label column when present;
     sign-LSH via ``sign_lsh_bucket`` otherwise) — the join is
     per-bucket, so cost is Σ bucket² not N²."""
+    from json_ld_spark.functions.columns import dot, l2_norm
+
+    # per-vector norms staged BEFORE the pair join: cosine then costs
+    # one aggregate per pair (the dot product) instead of three —
+    # Σ bucket² pairs each re-deriving both norms was 2/3 of the CPU.
+    # Identical IEEE result: same operands, same order, sqrt hoisted.
     e = embeddings.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col(block_col).alias("_b")
-    ).localCheckpoint()
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        F.col(block_col).alias("_b"),
+    ).withColumn("_norm", l2_norm(F.col("_v"))).localCheckpoint()
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id")))
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(cosine_similarity(F.col("a._v"), F.col("b._v")), 4).alias("cosine"),
+            F.round(
+                dot(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._norm") * F.col("b._norm")),
+                4,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
