@@ -102,6 +102,17 @@ def _split_by_size(
     return small, big
 
 
+def _pinned(df: DataFrame, *cols: str) -> DataFrame:
+    """Explicit repartition on the group keys before applyInPandas:
+    AQE sizes partitions by shuffle BYTES and collapses a small-but-
+    CPU-heavy Python stage to a handful of tasks (document assembly is
+    Python CPU, invisible to byte-based sizing); a user repartition is
+    never coalesced, and the following groupBy reuses it — one
+    exchange either way."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * 2, *cols)
+
+
 def _salted_partials(big: DataFrame, n_salts: int) -> DataFrame:
     """(conv_id, part_json): fromRdf over subject-salted sub-groups.
     Subject-hash salting keeps every subject's triples in one partial,
@@ -121,9 +132,9 @@ def _salted_partials(big: DataFrame, n_salts: int) -> DataFrame:
     salted = big.withColumn(
         "_salt", F.pmod(F.xxhash64("subj"), F.lit(n_salts)).cast("int")
     )
-    return salted.groupBy("conv_id", "_salt").applyInPandas(
-        _partial, schema=_PARTIAL_SCHEMA
-    )
+    return _pinned(salted, "conv_id", "_salt").groupBy(
+        "conv_id", "_salt"
+    ).applyInPandas(_partial, schema=_PARTIAL_SCHEMA)
 
 
 def _merge_parts(pdf: pd.DataFrame) -> list:
@@ -178,7 +189,7 @@ def triples_to_documents(
 
     valid = _valid(triples)
     small, big = _split_by_size(valid, max_group_triples)
-    out_small = small.groupBy("conv_id").applyInPandas(
+    out_small = _pinned(small, "conv_id").groupBy("conv_id").applyInPandas(
         _assemble, schema=_DOC_SCHEMA
     )
     out_big = (
@@ -321,7 +332,7 @@ def frame_conversations(
 
     valid = _valid(triples)
     small, big = _split_by_size(valid, max_group_triples)
-    out_small = small.groupBy("conv_id").applyInPandas(
+    out_small = _pinned(small, "conv_id").groupBy("conv_id").applyInPandas(
         _frame, schema=_FRAME_SCHEMA
     )
     out_big = (
