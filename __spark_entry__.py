@@ -147,9 +147,12 @@ def q_kg_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _triples(spark, sf_dir)
+    # materialize before the self-join: each join side would otherwise
+    # re-derive the whole emission pipeline (self-joins recompute the
+    # shared subtree once per side)
     m = t.filter(F.col("pred") == VOCAB + "of").select(
         "conv_id", "turn_idx", F.col("obj_value").alias("entity")
-    )
+    ).localCheckpoint()
     a, b = m.alias("a"), m.alias("b")
     return (
         a.join(

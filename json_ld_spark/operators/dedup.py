@@ -205,17 +205,22 @@ def ngram_jaccard_pairs(
     shared minimum n-gram md5, a deterministic 1-band blocking that
     the SQL oracle reproduces verbatim)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
-    words = F.split(norm, " ")
+    # stage the word array in its own projection: the gram lambda
+    # below references it per ELEMENT, and interpreted HOFs have no
+    # CSE — capturing the split(regexp(lower)) tree in the closure
+    # would re-run it once per gram
+    words = F.col("_words")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     )
-    # two-stage projection: the `grams` tree (split → transform →
-    # array_distinct) is expensive and interpreted; aliasing it once and
-    # deriving `_blk` from the alias avoids evaluating it twice per row
-    g = docs.select(F.col(id_col).alias("_id"), grams.alias("_grams")).select(
+    # staged projections: words once, then grams once; `_blk` derives
+    # from the gram alias so nothing expensive evaluates twice per row
+    g = docs.select(
+        F.col(id_col).alias("_id"), F.split(norm, " ").alias("_words")
+    ).select(F.col("_id"), grams.alias("_grams")).select(
         "_id",
         "_grams",
         F.size("_grams").alias("_n"),
