@@ -494,6 +494,111 @@ def q_canonicalized_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixed.unionByName(map_triples)
 
 
+def q_kg_triples_stream_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME triple set emitted through the raw streaming key-order
+    reader (core/streaming_reader.py, parity streaming_reader.rb) —
+    single pass over unexpanded turn documents, provisional statements
+    rewritten when @id arrives. Gated against the identical triple SQL
+    oracle as the expand-path emitters, so the two emission paths are
+    proven value-equal (bnode labels included) at driver scale."""
+    from json_ld_spark.operators.jsonld_ops import (
+        emit_triples_streaming_reader,
+        valid_triples,
+    )
+
+    t = valid_triples(emit_triples_streaming_reader(_derived(spark, sf_dir)))
+    return t.select(*_TRIPLE_COLS)
+
+
+def q_rdf_lists_reconstitute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rdf:first/rest chains built per user from the events table
+    (one list cell per event, ordered by event time), then collapsed
+    by the pointer-doubling reconstitute_lists operator — chains of
+    ~100 cells complete in ~7 doubling joins. The oracle recomputes
+    every list's head, items, and depth relationally, so truncation,
+    mis-ordering, or a broken doubling join all fail the gate."""
+    from pyspark.sql import Window
+
+    from json_ld_spark.operators.from_rdf_ops import (
+        RDF_FIRST,
+        RDF_NIL,
+        RDF_REST,
+        reconstitute_lists,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cells = ev.select(
+        "user_id",
+        F.col("event_id").cast("string").alias("val"),
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.lead("event_id").over(w).isNotNull().alias("has_next"),
+    ).select(
+        F.concat(F.lit("_:lst"), "user_id", F.lit("_"), "pos").alias("subj"),
+        "user_id", "val", "pos", "has_next",
+    )
+    first_rows = cells.select(
+        "subj", F.lit(RDF_FIRST).alias("pred"), F.col("val").alias("obj_value")
+    )
+    rest_rows = cells.select(
+        "subj",
+        F.lit(RDF_REST).alias("pred"),
+        F.when(
+            F.col("has_next"),
+            F.concat(F.lit("_:lst"), "user_id", F.lit("_"), F.col("pos") + 1),
+        ).otherwise(F.lit(RDF_NIL)).alias("obj_value"),
+    )
+    triples = first_rows.unionByName(rest_rows)
+    out = reconstitute_lists(triples, max_iter=12)
+    return out.select(
+        "head",
+        F.concat_ws(",", "items").alias("items_csv"),
+        "depth",
+        "exhausted",
+    )
+
+
+def q_jsonld_expand_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed expansion of ARBITRARY JSON-LD rows against the
+    vendored-context registry (operators.jsonld_ops.expand_documents):
+    documents are synthesized from the customer table with the
+    registered context IRI; every 10th row names an UNREGISTERED
+    remote context and must come back as an in-band quarantine row
+    with the spec code 'loading remote context failed' (parity
+    api.rb:624-718) — the oracle predicts expanded values and
+    quarantine rows exactly."""
+    from json_ld_spark.operators.jsonld_ops import expand_documents
+    from json_ld_spark.sources.gazetteer import CONTEXT_URL
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ctx_url = F.when(
+        F.col("c_custkey") % 10 == 0, F.lit("https://unknown.example/ctx")
+    ).otherwise(F.lit(CONTEXT_URL))
+    doc_json = F.concat(
+        F.lit('{"@context":"'), ctx_url,
+        F.lit('","@id":"https://example.org/kg/cust/'),
+        F.col("c_custkey").cast("string"),
+        F.lit('","role":"'), F.col("c_name"), F.lit('"}'),
+    )
+    docs = c.select(
+        F.col("c_custkey").cast("long").alias("doc_id"),
+        doc_json.alias("doc_json"),
+    )
+    out = expand_documents(docs)
+    return out.select(
+        "doc_id",
+        F.coalesce(
+            F.regexp_extract("expanded_json", r'"@id": ?"([^"]*)"', 1),
+            F.lit(""),
+        ).alias("node_id"),
+        F.coalesce(
+            F.regexp_extract("expanded_json", r'"@value": ?"([^"]*)"', 1),
+            F.lit(""),
+        ).alias("role"),
+        "error_code",
+    )
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.operators.dedup import exact_dedup
 
@@ -750,6 +855,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_docs": q_kg_node_docs,
         "kg_frame_conversations": q_kg_frame_conversations,
         "canonicalized_triples": q_canonicalized_triples,
+        "kg_triples_stream_reader": q_kg_triples_stream_reader,
+        "rdf_lists_reconstitute": q_rdf_lists_reconstitute,
+        "jsonld_expand_table": q_jsonld_expand_table,
         "dedup_keep": q_dedup_keep,
         "events_sessionize": q_events_sessionize,
         "lineitem_agg": q_lineitem_agg,
@@ -1098,7 +1206,28 @@ def oracle_sql() -> dict[str, str]:
         f"UNION ALL SELECT * FROM ({d['kg_triples_mentions']})"
     )
     d["kg_node_docs"] = d["kg_documents"]
+    d["kg_triples_stream_reader"] = d["kg_documents"]
     d["kg_frame_conversations"] = frame_sql
+    d["rdf_lists_reconstitute"] = """
+        SELECT '_:lst' || user_id || '_0' AS head,
+               array_to_string(
+                 list(CAST(event_id AS VARCHAR) ORDER BY ts, event_id), ',')
+                 AS items_csv,
+               CAST(count(*) AS INT) AS depth,
+               FALSE AS exhausted
+        FROM events GROUP BY user_id
+        """
+    d["jsonld_expand_table"] = """
+        SELECT c_custkey AS doc_id,
+               CASE WHEN c_custkey % 10 = 0 THEN ''
+                    ELSE 'https://example.org/kg/cust/' || c_custkey
+               END AS node_id,
+               CASE WHEN c_custkey % 10 = 0 THEN '' ELSE c_name END AS role,
+               CASE WHEN c_custkey % 10 = 0
+                    THEN 'loading remote context failed'
+               END AS error_code
+        FROM customer
+        """
     # canonicalization: merging the planted odd-turn variant IRIs back
     # is an identity on the entity-link triples; the merge map itself
     # is one owl:sameAs row per gazetteer entity (variant → canonical)

@@ -88,6 +88,9 @@ def main() -> None:
         "kg_node_docs",
         "kg_frame_conversations",
         "canonicalized_triples",
+        "kg_triples_stream_reader",
+        "rdf_lists_reconstitute",
+        "jsonld_expand_table",
     ]
     qmap = entry.queries()
     for name in bench_queries:

@@ -282,6 +282,116 @@ def emit_triples(
     return triples
 
 
+def _stream_batch_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: turns → triples via the RAW streaming
+    key-order reader (core/streaming_reader.py) instead of
+    expand+emit. Semantically identical output (turn documents are
+    emitted in streaming-profile key order); exists so the streaming
+    reader is exercised distributed and under the triple oracle."""
+    from json_ld_spark.core.context import Options, parse_context_cached
+    from json_ld_spark.core.errors import JsonLdError
+    from json_ld_spark.core.keywords import BlankNodeNamer
+    from json_ld_spark.core.streaming_reader import StreamingReader
+
+    ctx = parse_context_cached(_NEXT_TURN_CONTEXT)
+    surface_patterns = [
+        (eid, surface, re.compile(re.escape(surface)))
+        for eid, surface, _ in GAZETTEER
+    ]
+    seen_shared: set = set()
+    options = Options()
+
+    for pdf in batches:
+        ts_str = pdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S")
+        texts = pdf["text"].fillna("")
+        count_cols = [
+            (eid, surface, texts.str.count(pattern).tolist())
+            for eid, surface, pattern in surface_patterns
+        ]
+        conv_ids = pdf["conv_id"].tolist()
+        turn_idxs = pdf["turn_idx"].tolist()
+        roles = pdf["role"].tolist()
+        text_vals = pdf["text"].tolist()
+        tools = pdf["tool"].tolist()
+        ts_vals = ts_str.tolist()
+        next_idxs = pdf["next_turn_idx"].tolist()
+        rows: list[tuple] = []
+        for i in range(len(conv_ids)):
+            conv_id = conv_ids[i]
+            turn_idx = int(turn_idxs[i])
+            mentions = [
+                (eid, surface, int(cnts[i]))
+                for eid, surface, cnts in count_cols
+                if cnts[i] > 0
+            ]
+            next_idx = next_idxs[i]
+            doc = build_turn_document(
+                conv_id, turn_idx,
+                roles[i] if pd.notna(roles[i]) else None,
+                text_vals[i] if pd.notna(text_vals[i]) else None,
+                tools[i] if pd.notna(tools[i]) else None,
+                ts_vals[i] if pd.notna(ts_vals[i]) else None,
+                int(next_idx) if pd.notna(next_idx) else None,
+                mentions,
+            )
+            reader = StreamingReader(options)
+            reader.namer = BlankNodeNamer(prefix=f"{conv_id}t{turn_idx}m")
+            out: list = []
+            try:
+                # context pre-parsed once per worker; the doc itself is
+                # @context-free here so parse_object starts at the
+                # type/id states directly
+                reader.parse_object(doc, None, ctx, out.append,
+                                    graph_is_named=False)
+            except JsonLdError as e:
+                rows.append(
+                    (conv_id, turn_idx, None, None, None, None, None, None,
+                     None, e.code, str(e))
+                )
+                continue
+            for t in out:
+                subj = ("_:" + t.subject.value) if t.subject.kind == "bnode" else t.subject.value
+                obj_is_iri = t.obj.kind != "literal"
+                obj_value = (
+                    ("_:" + t.obj.value) if t.obj.kind == "bnode" else t.obj.value
+                )
+                if subj.startswith(CONV_NS):
+                    k = (subj, t.predicate.value, obj_value)
+                    if k in seen_shared:
+                        continue
+                    seen_shared.add(k)
+                rows.append(
+                    (
+                        conv_id, turn_idx, subj, t.predicate.value, obj_value,
+                        obj_is_iri,
+                        None if obj_is_iri else t.obj.datatype,
+                        None if obj_is_iri else t.obj.language,
+                        ("_:" + t.graph.value if t.graph.kind == "bnode" else t.graph.value)
+                        if t.graph is not None else None,
+                        None, None,
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "conv_id", "turn_idx", "subj", "pred", "obj_value",
+                "obj_is_iri", "obj_datatype", "obj_language", "graph",
+                "error_code", "error_msg",
+            ],
+        )
+
+
+def emit_triples_streaming_reader(transcripts: DataFrame) -> DataFrame:
+    """Transcripts → triples via the raw streaming key-order reader —
+    the alternate single-pass emission path (streaming_reader.rb
+    parity), distributed. Same partition-local conv-level dedup as
+    emit_triples; the driver gates it against the same triple oracle."""
+    src = with_stable_turn_order(transcripts)
+    return src.mapInPandas(_stream_batch_iter, schema=TRIPLE_SCHEMA)
+
+
 EXPAND_SCHEMA = (
     "doc_id long, expanded_json string, error_code string, error_msg string"
 )
