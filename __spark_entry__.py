@@ -599,6 +599,54 @@ def q_jsonld_expand_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_MEDIA = 240
+
+
+def q_multimodal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the gate: frame sampling and resize
+    planning over the synthesized media table are pure metadata
+    arithmetic, so the oracle recomputes both exactly (the codec stays
+    an honestly-declared stub; what's gated here is the distributed
+    plan — explode shapes, filters, typed metadata)."""
+    from json_ld_spark.operators.multimodal import (
+        resize_plan,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=_N_MEDIA)
+    frames = (
+        sample_frames(media, every_n=5)
+        .groupBy("media_id", "n_frames")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("frame_idx")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("frame_idxs")
+        )
+        .select(
+            "media_id",
+            F.lit("video").alias("kind"),
+            F.col("n_frames"),
+            "frame_idxs",
+            F.lit(None).cast("int").alias("target_width"),
+            F.lit(None).cast("int").alias("target_height"),
+        )
+    )
+    plan = resize_plan(media, max_side=128).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("int").alias("n_frames"),
+        F.lit("").alias("frame_idxs"),
+        "target_width",
+        "target_height",
+    )
+    return frames.unionByName(plan)
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.operators.dedup import exact_dedup
 
@@ -858,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_stream_reader": q_kg_triples_stream_reader,
         "rdf_lists_reconstitute": q_rdf_lists_reconstitute,
         "jsonld_expand_table": q_jsonld_expand_table,
+        "multimodal_plan": q_multimodal_plan,
         "dedup_keep": q_dedup_keep,
         "events_sessionize": q_events_sessionize,
         "lineitem_agg": q_lineitem_agg,
@@ -1227,6 +1276,38 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'loading remote context failed'
                END AS error_code
         FROM customer
+        """
+    d["multimodal_plan"] = f"""
+        WITH m AS (SELECT range AS id FROM range({_N_MEDIA})),
+        v AS (
+          SELECT id AS media_id, CAST(id % 30 + 1 AS INT) AS n_frames
+          FROM m WHERE id % 3 = 2
+        ),
+        vf AS (
+          SELECT media_id, 'video' AS kind, n_frames,
+                 array_to_string(list_transform(
+                   generate_series(0, n_frames - 1, 5),
+                   x -> CAST(x AS VARCHAR)), ',') AS frame_idxs,
+                 CAST(NULL AS INT) AS target_width,
+                 CAST(NULL AS INT) AS target_height
+          FROM v
+        ),
+        i AS (
+          SELECT id AS media_id,
+                 CAST(id % 8 * 64 + 64 AS INT) AS w,
+                 CAST(id % 4 * 64 + 64 AS INT) AS h
+          FROM m WHERE id % 3 = 0
+        ),
+        ip AS (
+          SELECT media_id, 'image' AS kind, CAST(NULL AS INT) AS n_frames,
+                 '' AS frame_idxs,
+                 CAST(ceil(w * least(128.0 / w, 128.0 / h, 1.0)) AS INT)
+                   AS target_width,
+                 CAST(ceil(h * least(128.0 / w, 128.0 / h, 1.0)) AS INT)
+                   AS target_height
+          FROM i
+        )
+        SELECT * FROM vf UNION ALL SELECT * FROM ip
         """
     # canonicalization: merging the planted odd-turn variant IRIs back
     # is an identity on the entity-link triples; the merge map itself
