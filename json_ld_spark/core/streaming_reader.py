@@ -506,6 +506,11 @@ class StreamingReader:
                     "value object must not include @type with either "
                     f"@language or @direction: {value_object!r}",
                 )
+            # elsif chain mirrors streaming_reader.rb:395-410 exactly:
+            # @language first; then a present non-@json @type must be an
+            # IRI (InvalidTypedValue) and the scalar check is SKIPPED in
+            # that branch; the scalar @value check applies only when no
+            # @type is present.
             if "@language" in value_object and not isinstance(
                 value_object.get("@value"), str
             ):
@@ -515,7 +520,17 @@ class StreamingReader:
                     else err.INVALID_LANGUAGE_TAGGED_STRING,
                     f"with @language @value must be a string: {value_object!r}",
                 )
-            if value_object.get("@type") != RDF_JSON and not isinstance(
+            elif (
+                value_object.get("@type") is not None
+                and value_object["@type"] != RDF_JSON
+            ):
+                if type_statements and type_statements[0].obj.kind != "iri":
+                    raise JsonLdError(
+                        err.INVALID_TYPED_VALUE,
+                        "value of @type must be an IRI or '@json': "
+                        f"{value_object['@type']!r}",
+                    )
+            elif value_object.get("@type") != RDF_JSON and not isinstance(
                 value_object.get("@value"), (str, bool, int, float)
             ):
                 raise JsonLdError(
@@ -816,7 +831,10 @@ class StreamingReader:
                 self.parse_object(entry, active_property, context, list_emit,
                                   subject=fake_subject, predicate=first_pred)
                 if captured:
-                    values.append(captured[0])
+                    # the reference keeps the LAST captured object —
+                    # entry_value is reassigned per emitted statement
+                    # (streaming_reader.rb:627-634)
+                    values.append(captured[-1])
         if not values:
             return iri(RDF_NIL)
         nodes = [bnode(self.namer.get_name()) for _ in values]

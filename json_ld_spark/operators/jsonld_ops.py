@@ -294,6 +294,11 @@ def _stream_batch_iter(
     from json_ld_spark.core.errors import JsonLdError
     from json_ld_spark.core.keywords import BlankNodeNamer
     from json_ld_spark.core.streaming_reader import StreamingReader
+    from json_ld_spark.core.to_rdf import (
+        _valid_object,
+        _valid_predicate,
+        _valid_subject,
+    )
 
     ctx = parse_context_cached(_NEXT_TURN_CONTEXT)
     surface_patterns = [
@@ -339,11 +344,25 @@ def _stream_batch_iter(
             reader = StreamingReader(options)
             reader.namer = BlankNodeNamer(prefix=f"{conv_id}t{turn_idx}m")
             out: list = []
+
+            def emit(st) -> None:
+                # same validity filter as StreamingReader.stream()
+                # (parity stream_statement, streaming_reader.rb:48-52):
+                # on malformed input both emission paths must DROP
+                # invalid terms, not write them to the triple table
+                if (
+                    _valid_subject(st.subject)
+                    and _valid_predicate(st.predicate, False)
+                    and _valid_object(st.obj)
+                    and (st.graph is None or _valid_subject(st.graph))
+                ):
+                    out.append(st)
+
             try:
                 # context pre-parsed once per worker; the doc itself is
                 # @context-free here so parse_object starts at the
                 # type/id states directly
-                reader.parse_object(doc, None, ctx, out.append,
+                reader.parse_object(doc, None, ctx, emit,
                                     graph_is_named=False)
             except JsonLdError as e:
                 rows.append(

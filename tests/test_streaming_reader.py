@@ -180,6 +180,41 @@ def test_streaming_order_does_not_raise():
     assert {t.subject.value for t in late} == {"http://e/s"}
 
 
+def test_typed_value_skips_scalar_check():
+    """Reference elsif chain (streaming_reader.rb:395-410): a present
+    non-@json @type IRI SKIPS the scalar-@value check — the value is
+    handed to literal construction, not rejected."""
+    out = stream_to_rdf({
+        "@id": "http://e/s",
+        "http://e/p": {"@type": "http://e/T", "@value": {"a": 1}},
+    })
+    assert len(out) == 1
+    assert out[0].obj.datatype == "http://e/T"
+
+
+def test_non_iri_type_on_value_object_raises_invalid_typed_value():
+    """A non-IRI @type on a value object is InvalidTypedValue, not
+    InvalidValueObjectValue (streaming_reader.rb:398-403)."""
+    with pytest.raises(JsonLdError) as exc:
+        stream_to_rdf({
+            "@id": "http://e/s",
+            "http://e/p": {"@type": "_:b0", "@value": "x"},
+        })
+    assert exc.value.code == "invalid typed value"
+
+
+def test_list_entry_with_multiple_objects_keeps_last():
+    """An @list entry expanding to multiple objects retains the LAST
+    (entry_value reassigned per statement, streaming_reader.rb:627-634)."""
+    out = stream_to_rdf({
+        "@id": "http://e/s",
+        "http://e/p": {"@list": [{"@set": ["a", "b"]}]},
+    })
+    firsts = [t.obj.value for t in out
+              if t.predicate.value.endswith("#first")]
+    assert firsts == ["b"]
+
+
 def test_turn_document_matches_pipeline_emitter():
     """The pipeline's own turn documents stream identically (same
     graph) through the raw reader."""
