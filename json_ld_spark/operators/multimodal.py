@@ -2,12 +2,21 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schemas, partition sizing, UDF signatures,
-batch shapes — is real and tested. The codec step is STUBBED: this
-container has no image/audio libraries, so ``decode_image``/
-``decode_audio`` either raise ``NotImplementedError`` (strict mode) or
-produce a deterministic fake decode derived from the bytes (test
-mode). Swapping in Pillow/torchaudio/pyav is a one-function change —
-the distributed plan is unchanged.
+batch shapes — is real and tested. The codec is REAL for the
+stdlib-decodable container formats:
+
+  - image: binary PPM (P6) — parsed by ``decode_image``;
+  - audio: WAV PCM16 mono — parsed by ``decode_audio`` via ``wave``;
+  - video: "ppm-seq", a concatenation of P6 frames — parsed by
+    ``decode_video_frames`` (per-frame sampling decodes only the
+    sampled frames' bytes).
+
+Compressed codecs (JPEG/MP3/H.264) need external libraries this
+container doesn't ship; for those payloads the decoders raise
+``NotImplementedError`` in strict mode or fall back to a
+deterministic digest-derived fake (plumbing tests). Swapping in
+Pillow/torchaudio/pyav extends the same three functions — the
+distributed plan is unchanged.
 
 Scale notes:
   - binary payloads ride the Arrow transfer like any column; keep
@@ -15,14 +24,19 @@ Scale notes:
     blobs fits executor memory (the session builder does).
   - feature vectors come back as array<float> ready for the
     similarity/dedup operators (operators/similarity.py).
+  - decode_stats decodes each blob once per Arrow batch and emits
+    only small aggregate rows — the blob bytes never shuffle.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 import struct
+import wave
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,15 +77,106 @@ def synthesize_media(
     )
 
 
-def decode_image(payload: bytes, meta: dict, strict: bool = False) -> bytes:
-    """STUB codec. Real deployment: Pillow/libjpeg here."""
+# ---------------------------------------------------------------------------
+# real codecs (stdlib-decodable containers)
+# ---------------------------------------------------------------------------
+
+VIDEO_W, VIDEO_H = 16, 8  # fixed frame dims for the ppm-seq container
+
+
+def _ppm_payload(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    return b"P6\n%d %d\n255\n" % (width, height) + pixel_bytes
+
+
+def _parse_ppm(payload: bytes, offset: int = 0) -> tuple[int, int, bytes, int]:
+    """Parse one binary-PPM (P6) block at ``offset``; returns
+    (width, height, pixels, next_offset). Raises ValueError on a
+    malformed header or truncated pixel data."""
+    if payload[offset:offset + 2] != b"P6":
+        raise ValueError("not a P6 PPM block")
+    pos = offset + 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    n = width * height * 3
+    pixels = payload[pos:pos + n]
+    if len(pixels) != n:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, pixels, pos + n
+
+
+def decode_image(
+    payload: bytes, meta: "dict | None" = None, strict: bool = False
+) -> tuple[int, int, bytes]:
+    """(width, height, pixel_bytes) from a binary-PPM (P6) payload —
+    a REAL parse of real bytes. Compressed codecs (JPEG/PNG) need
+    Pillow, absent in this container: strict mode raises, non-strict
+    falls back to a deterministic digest fake (0×0 dims) so plumbing
+    tests can run on arbitrary bytes."""
+    if payload[:2] == b"P6":
+        w, h, pixels, _ = _parse_ppm(payload)
+        return w, h, pixels
     if strict:
         raise NotImplementedError(
-            "image codec not available in this container; install Pillow "
-            "and replace decode_image"
+            "compressed image codecs need Pillow; only PPM (P6) decodes "
+            "in this container"
         )
-    # deterministic fake: 'pixels' = repeated digest of the payload
-    return hashlib.sha256(payload).digest()
+    return 0, 0, hashlib.sha256(payload).digest()
+
+
+def decode_audio(
+    payload: bytes, strict: bool = False
+) -> tuple[int, int, bytes]:
+    """(sample_rate, n_samples, pcm16_bytes) from a WAV PCM16 payload
+    via the stdlib ``wave`` module. Non-WAV payloads: strict raises,
+    non-strict falls back to the digest fake."""
+    if payload[:4] == b"RIFF":
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise ValueError("only PCM16 mono supported")
+            n = w.getnframes()
+            return w.getframerate(), n, w.readframes(n)
+    if strict:
+        raise NotImplementedError(
+            "compressed audio codecs need torchaudio/ffmpeg; only WAV "
+            "PCM16 decodes in this container"
+        )
+    return 0, 0, hashlib.sha256(payload).digest()
+
+
+def decode_video_frames(
+    payload: bytes, every_n: int = 1, strict: bool = False
+) -> list[tuple[int, int, int, bytes]]:
+    """[(frame_idx, width, height, pixel_bytes)] for every
+    ``every_n``-th frame of a ppm-seq payload (concatenated P6
+    frames). Skipped frames are seeked over, not decoded."""
+    if payload[:2] != b"P6":
+        if strict:
+            raise NotImplementedError(
+                "real video codecs need pyav/ffmpeg; only ppm-seq "
+                "decodes in this container"
+            )
+        return []
+    out = []
+    offset, idx = 0, 0
+    while offset < len(payload):
+        w, h, pixels, nxt = _parse_ppm(payload, offset)
+        if idx % every_n == 0:
+            out.append((idx, w, h, pixels))
+        offset, idx = nxt, idx + 1
+    return out
 
 
 def _features_from_bytes(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -100,7 +205,7 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
         for pdf in it:
             feats = [
                 _features_from_bytes(
-                    decode_image(bytes(p), None) if k == "image" else bytes(p)
+                    decode_image(bytes(p))[2] if k == "image" else bytes(p)
                 )
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
@@ -117,6 +222,156 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
         _batches,
         schema="media_id long, kind string, feature array<float>, n_bytes int",
     )
+
+
+# ---------------------------------------------------------------------------
+# decodable synthetic media + decoded statistics (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+AUDIO_RATE = 16000
+
+
+def _image_dims(media_id: int) -> tuple[int, int]:
+    return (media_id % 8) * 8 + 8, (media_id % 4) * 8 + 8
+
+
+def _audio_samples_n(media_id: int) -> int:
+    return (media_id % 10) * 400 + 400
+
+
+def _video_frames_n(media_id: int) -> int:
+    return (media_id % 30) + 1
+
+
+def _image_pixels(media_id: int, n: int, frame: int = 0) -> np.ndarray:
+    """Closed-form pixel bytes: value(i) = (id*7 + frame*3 + i*13) % 256.
+    The SAME closed form is recomputed by the DuckDB oracle from
+    (media_id, i) alone — so decoded byte statistics gate the real
+    encode→decode round trip."""
+    return ((media_id * 7 + frame * 3 + np.arange(n) * 13) % 256).astype(
+        np.uint8
+    )
+
+
+def _audio_pcm(media_id: int, n: int) -> np.ndarray:
+    """Closed-form int16 samples: ((id*31 + i*17) % 65536) - 32768."""
+    return (
+        (media_id * 31 + np.arange(n) * 17) % 65536 - 32768
+    ).astype(np.int16)
+
+
+def synthesize_decodable_media(
+    spark: SparkSession, n: int = 240
+) -> DataFrame:
+    """Deterministic media table whose payloads are REAL decodable
+    containers (PPM / WAV / ppm-seq), generated distributed via
+    mapInPandas — content is a pure closed-form function of media_id,
+    which is what lets a SQL oracle verify the decoded bytes."""
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                kind = ("image", "audio", "video")[mid % 3]
+                if kind == "image":
+                    w, h = _image_dims(mid)
+                    payload = _ppm_payload(
+                        w, h, _image_pixels(mid, w * h * 3).tobytes()
+                    )
+                    meta = (w, h, None, None, "ppm")
+                elif kind == "audio":
+                    ns = _audio_samples_n(mid)
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wv:
+                        wv.setnchannels(1)
+                        wv.setsampwidth(2)
+                        wv.setframerate(AUDIO_RATE)
+                        wv.writeframes(_audio_pcm(mid, ns).tobytes())
+                    payload = buf.getvalue()
+                    meta = (None, None, AUDIO_RATE, None, "wav-pcm16")
+                else:
+                    nf = _video_frames_n(mid)
+                    fb = VIDEO_W * VIDEO_H * 3
+                    payload = b"".join(
+                        _ppm_payload(
+                            VIDEO_W, VIDEO_H,
+                            _image_pixels(mid, fb, frame=f).tobytes(),
+                        )
+                        for f in range(nf)
+                    )
+                    meta = (VIDEO_W, VIDEO_H, None, nf, "ppm-seq")
+                rows.append((mid, kind, payload, meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(
+        _gen,
+        schema=(
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int, height:int, sample_rate:int, "
+            "n_frames:int, codec:string>"
+        ),
+    )
+
+
+DECODE_STATS_SCHEMA = (
+    "media_id long, kind string, part int, n_values long, "
+    "sum_values long, min_value long, max_value long"
+)
+
+
+def decode_stats(media: DataFrame, every_n: int = 5) -> DataFrame:
+    """Decode every payload with the REAL codecs and emit per-part
+    value statistics (exact integer sum/min/max — cross-engine safe):
+
+      - image: one row per RGB channel (part = channel index);
+      - audio: one row over all PCM16 samples (part = 0);
+      - video: one row per SAMPLED frame (part = frame_idx,
+        ``every_n`` sampling — unsampled frames are never decoded).
+
+    strict=True inside: a synthetic payload that fails to parse is a
+    bug, not a fallback case."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, kind, p in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                mid, payload = int(mid), bytes(p)
+                if kind == "image":
+                    _w, _h, pixels = decode_image(payload, strict=True)
+                    arr = np.frombuffer(pixels, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    for c in range(3):
+                        ch = arr[c::3]
+                        rows.append((mid, kind, c, len(ch), int(ch.sum()),
+                                     int(ch.min()), int(ch.max())))
+                elif kind == "audio":
+                    _rate, _n, pcm = decode_audio(payload, strict=True)
+                    arr = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                    rows.append((mid, kind, 0, len(arr), int(arr.sum()),
+                                 int(arr.min()), int(arr.max())))
+                else:
+                    for idx, _w, _h, pixels in decode_video_frames(
+                        payload, every_n=every_n, strict=True
+                    ):
+                        arr = np.frombuffer(
+                            pixels, dtype=np.uint8
+                        ).astype(np.int64)
+                        rows.append((mid, kind, idx, len(arr),
+                                     int(arr.sum()), int(arr.min()),
+                                     int(arr.max())))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "part", "n_values",
+                         "sum_values", "min_value", "max_value"],
+            )
+
+    return media.mapInPandas(_batches, schema=DECODE_STATS_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:

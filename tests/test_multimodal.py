@@ -54,9 +54,125 @@ def test_features_feed_similarity_ops(spark):
     assert rows[0]["vec_id"] == 0 and abs(rows[0]["cosine"] - 1.0) < 1e-3
 
 
-def test_strict_codec_stub_raises():
+def test_strict_codec_raises_on_compressed_formats():
+    """Compressed codecs (JPEG etc.) still raise in strict mode —
+    only the stdlib-decodable containers parse."""
     with pytest.raises(NotImplementedError):
-        decode_image(b"xxxx", None, strict=True)
+        decode_image(b"\xff\xd8\xff\xe0jpegish", None, strict=True)
+    from json_ld_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3ish", strict=True)
+
+
+def test_ppm_round_trip():
+    """Real encode→decode: PPM bytes parse back to the exact pixels."""
+    from json_ld_spark.operators.multimodal import (
+        _image_pixels,
+        _parse_ppm,
+        _ppm_payload,
+    )
+
+    pixels = _image_pixels(7, 24 * 16 * 3).tobytes()
+    payload = _ppm_payload(24, 16, pixels)
+    w, h, out = decode_image(payload, strict=True)
+    assert (w, h) == (24, 16) and out == pixels
+    # comments and arbitrary whitespace in the header parse too
+    wonky = b"P6\n# a comment\n 24\t16\n255\n" + pixels
+    assert _parse_ppm(wonky)[:3] == (24, 16, pixels)
+
+
+def test_wav_round_trip():
+    """Real encode→decode: WAV PCM16 parses back to the exact samples."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from json_ld_spark.operators.multimodal import (
+        AUDIO_RATE,
+        _audio_pcm,
+        decode_audio,
+    )
+
+    samples = _audio_pcm(5, 1234)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(AUDIO_RATE)
+        wv.writeframes(samples.tobytes())
+    rate, n, pcm = decode_audio(buf.getvalue(), strict=True)
+    assert rate == AUDIO_RATE and n == 1234
+    assert np.array_equal(np.frombuffer(pcm, dtype="<i2"), samples)
+
+
+def test_video_frame_sampling_decodes_only_sampled():
+    from json_ld_spark.operators.multimodal import (
+        VIDEO_H,
+        VIDEO_W,
+        _image_pixels,
+        _ppm_payload,
+        decode_video_frames,
+    )
+
+    fb = VIDEO_W * VIDEO_H * 3
+    payload = b"".join(
+        _ppm_payload(VIDEO_W, VIDEO_H, _image_pixels(9, fb, frame=f).tobytes())
+        for f in range(11)
+    )
+    frames = decode_video_frames(payload, every_n=4, strict=True)
+    assert [f[0] for f in frames] == [0, 4, 8]
+    for idx, w, h, pixels in frames:
+        assert (w, h) == (VIDEO_W, VIDEO_H)
+        assert pixels == _image_pixels(9, fb, frame=idx).tobytes()
+
+
+def test_decode_stats_matches_local_recompute(spark):
+    """Distributed decode_stats == a single-process recompute from the
+    closed-form content function (the same invariant the DuckDB
+    oracle checks at driver scale)."""
+    import numpy as np
+
+    from json_ld_spark.operators.multimodal import (
+        VIDEO_H,
+        VIDEO_W,
+        _audio_pcm,
+        _audio_samples_n,
+        _image_dims,
+        _image_pixels,
+        _video_frames_n,
+        decode_stats,
+        synthesize_decodable_media,
+    )
+
+    media = synthesize_decodable_media(spark, n=36)
+    rows = {
+        (r["media_id"], r["part"]): r
+        for r in decode_stats(media, every_n=5).collect()
+    }
+    for mid in range(36):
+        kind = ("image", "audio", "video")[mid % 3]
+        if kind == "image":
+            w, h = _image_dims(mid)
+            arr = _image_pixels(mid, w * h * 3).astype(np.int64)
+            for c in range(3):
+                ch = arr[c::3]
+                r = rows[(mid, c)]
+                assert (r["n_values"], r["sum_values"]) == (len(ch), ch.sum())
+                assert (r["min_value"], r["max_value"]) == (ch.min(), ch.max())
+        elif kind == "audio":
+            arr = _audio_pcm(mid, _audio_samples_n(mid)).astype(np.int64)
+            r = rows[(mid, 0)]
+            assert (r["n_values"], r["sum_values"]) == (len(arr), arr.sum())
+        else:
+            fb = VIDEO_W * VIDEO_H * 3
+            for f in range(0, _video_frames_n(mid), 5):
+                arr = _image_pixels(mid, fb, frame=f).astype(np.int64)
+                r = rows[(mid, f)]
+                assert (r["sum_values"], r["min_value"], r["max_value"]) == (
+                    arr.sum(), arr.min(), arr.max(),
+                )
 
 
 def test_frame_sampling(spark):
