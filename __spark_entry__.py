@@ -215,11 +215,33 @@ def q_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_components(docs, threshold=0.3, hash_family="md5")
 
 
+_NEARDUP_PLANT_STRIDE = 50
+_NEARDUP_PLANT_OFFSET = 1_000_000
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with PLANTED positives: every 50th vector
+    gets a derived near-duplicate (v → round(0.9·v + 0.05, 4), id +
+    1e6, same blocking label) unioned into the corpus, so the oracle
+    gate sees non-zero pairs at every driver scale — the r2 row was
+    green-but-vacuous (0 = 0). The derivation is exact 4-dp arithmetic
+    the DuckDB oracle replays bit-for-bit, so the cosine math itself
+    is now hash-gated on real positives."""
     from json_ld_spark.operators.dedup import embedding_neardup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(emb, threshold=0.5)
+    planted = emb.filter(
+        F.col("vec_id") % _NEARDUP_PLANT_STRIDE == 0
+    ).select(
+        (F.col("vec_id") + _NEARDUP_PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 0.9 + 0.05, 4).cast("float"),
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    return embedding_neardup_pairs(corpus, threshold=0.5)
 
 
 def _query_vec_df(spark: SparkSession, sf_dir: str):
@@ -271,19 +293,26 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, qvec, k=10, planes=_lsh_planes(), probe_radius=1)
 
 
+_IVF_ITERS = 2
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k with a mod-partition codebook: centroid c = mean of
-    vectors with vec_id ≡ c (mod n) — deterministic and recomputable
-    by the SQL oracle, so assignment + probing + scoring all oracle."""
+    """IVF top-k with a TRAINED codebook: k-means (fixed seedless
+    recipe — mod-partition init + 2 Lloyd iterations, centroids
+    rounded to 6 dp per step) — fully deterministic, so the DuckDB
+    oracle replays the training loop CTE-for-CTE and the whole
+    index build + assignment + probing + scoring is hash-gated."""
     from json_ld_spark.operators.similarity import (
-        build_ivf_centroids,
         ivf_assign,
         ivf_topk,
+        train_ivf_codebook,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    cents = build_ivf_centroids(emb, n_centroids=_IVF_CELLS)
+    cents = train_ivf_codebook(
+        emb, n_centroids=_IVF_CELLS, n_iters=_IVF_ITERS
+    )
     assigned = ivf_assign(emb, cents)
     return ivf_topk(assigned, cents, qvec, k=10, nprobe=_IVF_NPROBE)
 
@@ -857,8 +886,43 @@ def _lsh_oracle_sql() -> str:
 
 
 def _ivf_oracle_sql() -> str:
-    """DuckDB twin of q_ann_ivf_topk: recompute the mod-partition
-    codebook, assignment (argmax cosine), probe set, and final top-k."""
+    """DuckDB twin of q_ann_ivf_topk: REPLAY the k-means training —
+    mod-partition init, then per iteration argmax-cosine assignment +
+    per-dim avg update (6-dp rounding after init and every update,
+    empty cells keep their previous centroid) — then the final
+    assignment, probe set, and top-k. Bit-for-bit the Spark
+    train_ivf_codebook recipe."""
+
+    def assign_cte(cents: str, k: int) -> str:
+        return f"""
+    s{k} AS (
+      SELECT e.vec_id, e.v, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cos('e.v', 'c.centroid')} DESC, c.centroid_id
+             ) AS rn
+      FROM e CROSS JOIN {cents} c
+    ),
+    a{k} AS (SELECT vec_id, v, centroid_id FROM s{k} WHERE rn = 1)"""
+
+    iters = []
+    prev = "c0"
+    for k in range(1, _IVF_ITERS + 1):
+        iters.append(assign_cte(prev, k) + f""",
+    u{k} AS (
+      SELECT centroid_id, list(c ORDER BY i) AS centroid FROM (
+        SELECT centroid_id, t.i AS i, round(avg(v[t.i]), 6) AS c
+        FROM a{k}, range(1, {_LSH_DIM + 1}) t(i)
+        GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    c{k} AS (
+      SELECT p.centroid_id,
+             coalesce(u{k}.centroid, p.centroid) AS centroid
+      FROM {prev} p LEFT JOIN u{k} USING (centroid_id)
+    )""")
+        prev = f"c{k}"
+    final_assign = assign_cte(prev, _IVF_ITERS + 1)
     return f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -867,30 +931,21 @@ def _ivf_oracle_sql() -> str:
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
     comp AS (
       SELECT CAST(vec_id % {_IVF_CELLS} AS INT) AS centroid_id, t.i AS i,
-             avg(v[t.i]) AS c
+             round(avg(v[t.i]), 6) AS c
       FROM e, range(1, {_LSH_DIM + 1}) t(i)
       GROUP BY 1, 2
     ),
-    cents AS (
+    c0 AS (
       SELECT centroid_id, list(c ORDER BY i) AS centroid
       FROM comp GROUP BY 1
-    ),
+    ),{",".join(iters)},{final_assign},
     probe AS (
-      SELECT centroid_id FROM cents, q
+      SELECT centroid_id FROM {prev}, q
       ORDER BY {_sql_cos('centroid', 'qv')} DESC, centroid_id
       LIMIT {_IVF_NPROBE}
-    ),
-    scored AS (
-      SELECT e.vec_id, e.v, c.centroid_id,
-             row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY {_sql_cos('e.v', 'c.centroid')} DESC, c.centroid_id
-             ) AS rn
-      FROM e CROSS JOIN cents c
-    ),
-    assigned AS (SELECT vec_id, v, centroid_id FROM scored WHERE rn = 1)
+    )
     SELECT a.vec_id AS vec_id, round({_sql_cos('a.v', 'q.qv')}, 4) AS cosine
-    FROM assigned a JOIN probe USING (centroid_id), q
+    FROM a{_IVF_ITERS + 1} a JOIN probe USING (centroid_id), q
     ORDER BY cosine DESC, vec_id
     LIMIT 10
     """
@@ -1167,10 +1222,22 @@ def oracle_sql() -> dict[str, str]:
                - len(list_intersect(a._grams, b._grams))) >= 0.05
         """,
         "embedding_neardup": f"""
-        WITH e AS (
+        WITH planted AS (
+          SELECT vec_id + {_NEARDUP_PLANT_OFFSET} AS vec_id,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 0.9 + 0.05, 4) AS FLOAT))
+                   AS embedding,
+                 label
+          FROM embeddings WHERE vec_id % {_NEARDUP_PLANT_STRIDE} = 0
+        ),
+        corpus AS (
+          SELECT vec_id, embedding, label FROM embeddings
+          UNION ALL SELECT vec_id, embedding, label FROM planted
+        ),
+        e AS (
           SELECT vec_id, label,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings
+          FROM corpus
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_dot_product(a.v, b.v) /

@@ -149,16 +149,25 @@ def build_ivf_centroids(
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Coarse IVF codebook without iterative k-means: centroid c =
-    mean of vectors hashed to cell c (deterministic one-pass
-    quantization; good enough as a routing structure, replaceable by a
-    trained codebook)."""
-    # cell = vec_id mod n: any deterministic partition works as a
-    # coarse quantizer, and the modulus (unlike a seeded hash) is
-    # reproducible by any SQL engine — the DuckDB oracle recomputes
-    # the identical codebook. Sequential ids also balance perfectly.
+    """Coarse one-pass codebook: centroid c = mean of vectors in cell
+    c. NOT a trained quantizer — it exists as (a) the deterministic,
+    SQL-reproducible INIT for ``train_ivf_codebook`` and (b) the
+    cross-engine oracle family. Use the trained codebook for real
+    routing quality.
+
+    Cell assignment: ``vec_id mod n`` for numeric ids (reproducible by
+    any SQL engine; sequential ids balance perfectly). Non-numeric ids
+    fall back to xxhash64 — a silent NULL-producing string→number cast
+    in non-ANSI mode would otherwise degenerate the codebook."""
+    from pyspark.sql.types import NumericType
+
+    id_type = embeddings.schema[id_col].dataType
+    if isinstance(id_type, NumericType):
+        cell = F.pmod(F.col(id_col), F.lit(n_centroids))
+    else:
+        cell = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids))
     cells = embeddings.select(
-        (F.pmod(F.col(id_col), F.lit(n_centroids))).cast("int").alias("centroid_id"),
+        cell.cast("int").alias("centroid_id"),
         F.col(vec_col).alias("_v"),
     )
     agg = cells.groupBy("centroid_id").agg(
@@ -168,6 +177,68 @@ def build_ivf_centroids(
         F.count("*").alias("n_members"),
     )
     return agg
+
+
+def train_ivf_codebook(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """TRAINED IVF codebook: Lloyd's k-means with a deterministic
+    mod-partition init (build_ivf_centroids) and a FIXED iteration
+    count — no RNG, no convergence test, so the exact same codebook
+    comes out of any engine that replays the recipe (the DuckDB
+    oracle does, CTE per iteration).
+
+    Per iteration (all DataFrame-native):
+      - assignment: broadcast the codebook, arg-max cosine via the
+        ``max_by`` aggregate (``ivf_assign`` — map-side partial, one
+        row per vector on the exchange);
+      - update: one ``groupBy(centroid_id).agg(avg per dim)`` round —
+        a single shuffle of dim-width partial sums.
+    Centroid coordinates are rounded to ``round_dp`` decimals after
+    init and after every update: the rounding quantizes away the
+    ~1e-13 summation-order noise between engines (and between Spark
+    partition orders), which is what makes the trained codebook
+    oracle-checkable rather than rows-only.
+
+    A cell that loses every member keeps its previous centroid (left
+    join + coalesce — mirrored by the oracle). The codebook is
+    dimension-table-sized; each iteration localCheckpoints it (16×64
+    doubles) so lineage stays flat across iterations. At 100-TB scale
+    train on a sample — the codebook only routes; assignment of the
+    full corpus is the one big pass."""
+    rounded = lambda c: F.transform(c, lambda x: F.round(x, round_dp))  # noqa: E731
+    cents = build_ivf_centroids(
+        embeddings, n_centroids, id_col, vec_col, dim
+    ).select("centroid_id", rounded(F.col("centroid")).alias("centroid"),
+             "n_members")
+    for _ in range(n_iters):
+        cents = cents.localCheckpoint()
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+        upd = assigned.groupBy("centroid_id").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.element_at(vec_col, i + 1)), round_dp)
+                    for i in range(dim)
+                ]
+            ).alias("centroid"),
+            F.count("*").alias("n_members"),
+        )
+        cents = (
+            cents.select("centroid_id", F.col("centroid").alias("_prev"))
+            .join(upd, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("centroid", "_prev").alias("centroid"),
+                F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            )
+        )
+    return cents.localCheckpoint()
 
 
 def ivf_assign(

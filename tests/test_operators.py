@@ -180,6 +180,72 @@ def test_ivf_topk(spark, vectors):
     assert top[0]["vec_id"] == 0  # nprobe=all → exact
 
 
+def test_ivf_trained_codebook_recall(spark, vectors):
+    """Trained k-means codebook must reach ≥0.9 recall vs brute force
+    with a 1-cell probe on the clustered fixture — the quality gate
+    the mod-partition init alone cannot pass (its centroids are
+    near-coincident means of random cells, so probe selection is
+    arbitrary). Mirrors test_lsh_multiprobe_recall."""
+    from json_ld_spark.operators.similarity import train_ivf_codebook
+
+    qvec = vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in brute_force_topk(vectors, qvec, k=10).collect()}
+    cents = train_ivf_codebook(vectors, n_centroids=4, n_iters=5, dim=16)
+    assigned = ivf_assign(vectors, cents)
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(assigned, cents, qvec, k=10, nprobe=1).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
+    # training actually separated the clusters: every cluster's members
+    # agree on a cell, and the 4 clusters occupy distinct cells
+    cells = {
+        r["vec_id"]: r["centroid_id"] for r in assigned.collect()
+    }
+    cluster_cells = [
+        {cells[label * 25 + i] for i in range(25)} for label in range(4)
+    ]
+    assert all(len(s) == 1 for s in cluster_cells)
+    assert len(set().union(*cluster_cells)) == 4
+
+
+def test_ivf_codebook_deterministic_and_empty_cell_safe(spark, vectors):
+    """Same input → bit-identical codebook (fixed recipe, rounded
+    coordinates); a cell that loses all members keeps its previous
+    centroid instead of vanishing."""
+    from json_ld_spark.operators.similarity import train_ivf_codebook
+
+    a = {
+        r["centroid_id"]: r["centroid"]
+        for r in train_ivf_codebook(
+            vectors, n_centroids=4, n_iters=3, dim=16
+        ).collect()
+    }
+    b = {
+        r["centroid_id"]: r["centroid"]
+        for r in train_ivf_codebook(
+            vectors, n_centroids=4, n_iters=3, dim=16
+        ).collect()
+    }
+    assert a == b
+    # over-provisioned codebook (more cells than clusters): empty cells
+    # persist with their init centroid, count stays n_centroids
+    many = train_ivf_codebook(vectors, n_centroids=12, n_iters=3, dim=16)
+    assert many.count() == 12
+
+
+def test_ivf_codebook_string_ids_fall_back_to_hash(spark, vectors):
+    """Non-numeric id columns route through xxhash64 instead of a
+    silent NULL-producing cast (advice r2)."""
+    sv = vectors.select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    cents = build_ivf_centroids(sv, n_centroids=4, dim=16)
+    rows = cents.collect()
+    assert all(r["centroid_id"] is not None for r in rows)
+    assert sum(r["n_members"] for r in rows) == 100
+
+
 def test_embedding_neardup_blocks(spark, vectors):
     pairs = embedding_neardup_pairs(
         vectors, threshold=0.99, block_col="label"
