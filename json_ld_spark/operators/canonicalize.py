@@ -262,6 +262,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 30,
     stats: "dict | None" = None,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """(id, component) with component = min id in the component.
 
@@ -281,12 +282,19 @@ def connected_components(
     checkpoint is the only materialization per round and the checksum
     agg reads its cached partitions. At fixpoint the edge set is a star
     forest (child → min-id root), which IS the component labeling.
+
+    ``checkpoint_dir``: when set, per-round materialization uses the
+    RELIABLE checkpoint (survives executor loss — mandatory for
+    hours-long CC on a real cluster; see plans/checkpoints.py for the
+    trade). Default localCheckpoint is correct on local[N].
     """
-    e = (
+    from json_ld_spark.plans.checkpoints import cut_lineage
+
+    e = cut_lineage(  # evaluate the upstream edge pipeline once
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .dropDuplicates()
-        .localCheckpoint()  # evaluate the upstream edge pipeline once
+        .dropDuplicates(),
+        checkpoint_dir,
     )
     prev: "tuple | None" = None
     rounds = 0
@@ -315,10 +323,9 @@ def connected_components(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(mins2.select(F.col("a"), F.col("m").alias("b")))
         )
-        e = (
-            ss.filter(F.col("a") != F.col("b"))
-            .dropDuplicates()
-            .localCheckpoint()
+        e = cut_lineage(
+            ss.filter(F.col("a") != F.col("b")).dropDuplicates(),
+            checkpoint_dir,
         )
         # bit_xor, not sum: order-independent and cannot overflow
         # (ANSI mode would throw on a long-sum of 2^63-range hashes)

@@ -159,7 +159,11 @@ def node_docs_to_triples(node_docs: DataFrame) -> DataFrame:
     return type_triples.unionByName(prop_triples)
 
 
-def reconstitute_lists(triples: DataFrame, max_iter: int = 12) -> DataFrame:
+def reconstitute_lists(
+    triples: DataFrame,
+    max_iter: int = 12,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
     """(head, items, depth, exhausted): rdf:first/rest chains collapsed
     by POINTER DOUBLING — each round joins every unfinished chain state
     with the state its tail points at, so round k covers chains of up
@@ -171,7 +175,13 @@ def reconstitute_lists(triples: DataFrame, max_iter: int = 12) -> DataFrame:
     longer than 2^max_iter cells — or cyclic ones — are NOT silently
     dropped: they come back with exhausted=true and the items collected
     so far, so callers can quarantine or re-run with a higher bound.
+
+    ``checkpoint_dir``: when set, per-round state materializes via the
+    RELIABLE checkpoint (survives executor loss on a real cluster;
+    plans/checkpoints.py documents the trade). Default localCheckpoint
+    is right on local[N].
     """
+    from json_ld_spark.plans.checkpoints import cut_lineage
     cells = (
         triples.filter(F.col("pred").isin(RDF_FIRST, RDF_REST))
         .groupBy("subj")
@@ -185,11 +195,14 @@ def reconstitute_lists(triples: DataFrame, max_iter: int = 12) -> DataFrame:
     # (not including) ptr; ptr = rdf:nil means the chain is complete.
     # One row per node throughout — doubling never inflates the row
     # count (emitting every sub-interval would be quadratic).
-    state = cells.select(
-        F.col("subj").alias("head"),
-        F.array("first").alias("items"),
-        F.col("rest").alias("ptr"),
-    ).localCheckpoint()
+    state = cut_lineage(
+        cells.select(
+            F.col("subj").alias("head"),
+            F.array("first").alias("items"),
+            F.col("rest").alias("ptr"),
+        ),
+        checkpoint_dir,
+    )
     for _ in range(max_iter):
         todo = state.filter(F.col("ptr") != RDF_NIL)
         if not todo.take(1):
@@ -213,7 +226,7 @@ def reconstitute_lists(triples: DataFrame, max_iter: int = 12) -> DataFrame:
                 F.coalesce(F.col("b.ptr"), F.col("a.ptr")).alias("ptr"),
             )
         )
-        state = done.union(stepped).localCheckpoint()
+        state = cut_lineage(done.union(stepped), checkpoint_dir)
     # keep only maximal chains (heads that are not some other cell's rest)
     inner = cells.select(F.col("rest").alias("head")).distinct()
     return state.join(inner, "head", "left_anti").select(

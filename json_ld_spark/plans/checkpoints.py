@@ -1,0 +1,42 @@
+"""Lineage cutting for iterative operators — local vs reliable.
+
+Iterative DataFrame algorithms (large-star/small-star connected
+components, pointer-doubling list reconstitution) MUST truncate
+lineage every round or each iteration re-derives the whole upstream
+pipeline (SURVEY §4; measured 106s → 8s on CC). Two ways to cut:
+
+  - ``localCheckpoint()`` (default): materializes to executor-local
+    storage. Fast — no DFS round trip — but NOT fault-tolerant:
+    lineage is truncated, so if an executor holding checkpointed
+    partitions dies, those partitions are unrecoverable and the JOB
+    fails. The right default on local[N] (one JVM — executor loss IS
+    job loss anyway) and acceptable for short interactive jobs.
+  - ``checkpoint(eager=True)`` with a checkpoint dir: writes to the
+    reliable store (HDFS/S3/local-dir). Survives executor loss — on a
+    1000-executor cluster running hours-long CC over 10^12 edges,
+    losing one box mid-iteration 14 must not kill the job, so
+    production runs pass ``checkpoint_dir``.
+
+Operators thread an optional ``checkpoint_dir`` through to here; the
+two paths produce identical results (pytest-verified) — the choice is
+purely a durability/latency trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def cut_lineage(df: DataFrame, checkpoint_dir: "str | None" = None) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage.
+
+    ``checkpoint_dir=None`` → ``localCheckpoint`` (fast, executor-local,
+    not fault-tolerant). Otherwise → reliable ``checkpoint`` into the
+    given directory (set once per session; Spark's checkpoint dir is
+    session-global, so all reliable checkpoints of a job share it).
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)

@@ -106,6 +106,29 @@ def test_connected_components_deep_chain_log_rounds(spark):
     assert stats["rounds"] <= 17, stats
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir routes per-round materialization through the
+    RELIABLE checkpoint (fault-tolerant on a real cluster); results
+    must be identical to the localCheckpoint path, and checkpoint
+    files must actually land in the directory."""
+    import os
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (5, 4)], "id_a int, id_b int"
+    )
+    local = {
+        (r["id"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    ckpt = str(tmp_path / "cc_ckpt")
+    reliable = {
+        (r["id"], r["component"])
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert local == reliable
+    assert any(os.scandir(ckpt)), "reliable checkpoint wrote nothing"
+
+
 def test_merge_map_relabel(spark):
     comps = spark.createDataFrame(
         [("b", "a"), ("a", "a"), ("z", "z")], "id string, component string"
