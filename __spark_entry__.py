@@ -697,6 +697,97 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stats(media, every_n=_DECODE_EVERY_N)
 
 
+def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming emission under the gate: the transcript
+    corpus is replayed as a 4-file parquet stream through the REAL
+    streaming pipeline (stream_pipeline.stream_triples — foreachBatch,
+    checkpointLocation, idempotent append), then the sink is compacted
+    (valid_triples + triple-key dedup, the documented batch-compaction
+    step) and must equal the batch answer minus nextTurn links —
+    streaming emits ordered=False because a micro-batch only sees a
+    conversation prefix (streaming_writer.rb:14-125 defers reordering
+    the same way). Micro-batch boundaries cannot affect the result:
+    the gate proves exactly that."""
+    import os
+    import tempfile
+
+    from json_ld_spark.operators.jsonld_ops import valid_triples
+    from json_ld_spark.streaming.stream_pipeline import stream_triples
+
+    base = tempfile.mkdtemp(prefix="kgstream_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    _derived(spark, sf_dir).repartition(4).write.parquet(in_dir)
+    q = stream_triples(spark, in_dir, out_dir, ckpt,
+                       query_name="kg_stream_gate")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(out_dir)
+    return valid_triples(out).select(*_TRIPLE_COLS).dropDuplicates()
+
+
+def q_stream_turn_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the gate: turns are
+    split into two files at turn_idx 3 and streamed one file per
+    micro-batch (mtimes force the order), so the cross-batch nextTurn
+    links (2→3) can ONLY come from applyInPandasWithState state —
+    the per-batch window cannot see them. The full link set must
+    equal the batch lead() answer: a dropped state update, a wrong
+    timeout, or mis-sorted batch arrival all fail the hash."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from json_ld_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from json_ld_spark.streaming.stream_pipeline import stateful_turn_chain
+
+    base = tempfile.mkdtemp(prefix="kgchain_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(in_dir)
+    der = _derived(spark, sf_dir)
+    for i, part in enumerate(
+        (der.filter(F.col("turn_idx") < 3), der.filter(F.col("turn_idx") >= 3))
+    ):
+        tmp = os.path.join(base, f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp)
+        src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, f"batch{i}.parquet")
+        shutil.copy(src, dest)
+        # file-source batches are ordered by modification time: pin it
+        os.utime(dest, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    # NoTimeout + availableNow: process the backlog then terminate —
+    # a processing-time state timeout keeps scheduling timeout-
+    # evaluation batches and the query never terminates on its own
+    chain = stateful_turn_chain(stream, timeout_minutes=None)
+    q = (
+        chain.writeStream.foreachBatch(
+            lambda df, _eid: df.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select(
+        "conv_id", "turn_idx", "next_turn_idx"
+    )
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.operators.dedup import exact_dedup
 
@@ -984,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_expand_table": q_jsonld_expand_table,
         "multimodal_plan": q_multimodal_plan,
         "multimodal_decode": q_multimodal_decode,
+        "stream_triples": q_stream_triples,
+        "stream_turn_chain": q_stream_turn_chain,
         "dedup_keep": q_dedup_keep,
         "events_sessionize": q_events_sessionize,
         "lineitem_agg": q_lineitem_agg,
@@ -1397,6 +1490,19 @@ def oracle_sql() -> dict[str, str]:
           FROM i
         )
         SELECT * FROM vf UNION ALL SELECT * FROM ip
+        """
+    # streaming oracles: the streamed triple set equals the batch
+    # answer minus nextTurn links (ordered=False — a micro-batch sees
+    # only a conversation prefix); the stateful chain equals the batch
+    # lead() pairs including the cross-batch ones only state can emit
+    d["stream_triples"] = (
+        f"SELECT * FROM ({d['kg_triples_meta']}) "
+        f"WHERE pred <> '{VOCAB}nextTurn' "
+        f"UNION ALL SELECT * FROM ({d['kg_triples_mentions']})"
+    )
+    d["stream_turn_chain"] = f"""
+        SELECT conv_id, turn_idx, next_turn_idx FROM ({_T_CTE})
+        WHERE next_turn_idx IS NOT NULL
         """
     # decoded-bytes oracle: the Spark side DECODES real PPM/WAV/ppm-seq
     # payloads; the oracle recomputes the statistics from the closed-

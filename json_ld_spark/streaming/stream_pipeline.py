@@ -81,7 +81,7 @@ def stream_turn_rate(
 
 def stateful_turn_chain(
     transcripts_stream: DataFrame,
-    timeout_minutes: int = 30,
+    timeout_minutes: "int | None" = 30,
 ) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): resolve
     nextTurn links ACROSS micro-batches.
@@ -97,6 +97,12 @@ def stateful_turn_chain(
 
     Output: (conv_id, turn_idx, next_turn_idx) link rows, including
     the cross-batch ones that the per-batch window cannot see.
+
+    ``timeout_minutes=None`` disables the state GC (NoTimeout). Use it
+    for bounded replays (``trigger(availableNow=True)``): with a
+    processing-time timeout Spark keeps scheduling timeout-evaluation
+    batches and the query never terminates on its own — a live
+    ingestion pipeline wants the GC, a finite backlog replay doesn't.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -118,7 +124,8 @@ def stateful_turn_chain(
                     rows.append((conv_id, last, idx))
                 last = idx
         state.update((last,))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "next_turn_idx"])
 
     return transcripts_stream.groupBy("conv_id").applyInPandasWithState(
@@ -126,5 +133,9 @@ def stateful_turn_chain(
         outputStructType=output_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -111,7 +111,11 @@ def test_stateful_turn_chain_links_across_batches(spark, tmp_path):
         .option("latestFirst", "false")
         .parquet(str(in_dir))
     )
-    links = stateful_turn_chain(stream)
+    # NoTimeout for a bounded replay: with a processing-time timeout
+    # the query schedules timeout-evaluation batches forever and
+    # availableNow never terminates (this test used to burn the full
+    # 120s await); without it the backlog drains and the query STOPS
+    links = stateful_turn_chain(stream, timeout_minutes=None)
     q = (
         links.writeStream.format("memory")
         .queryName("turn_chain_test")
@@ -120,7 +124,8 @@ def test_stateful_turn_chain_links_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    terminated = q.awaitTermination(120)
+    assert terminated, "availableNow replay should self-terminate"
     got = {
         (r.conv_id, r.turn_idx, r.next_turn_idx)
         for r in spark.sql("SELECT * FROM turn_chain_test").collect()
