@@ -78,6 +78,7 @@ def main() -> None:
         "embedding_neardup",
         "ann_brute_topk",
         "ann_ivf_topk",
+        "ann_lsh_topk",
         "entity_cooccurrence",
         "lineitem_agg",
         "revenue_by_nation",
@@ -85,13 +86,20 @@ def main() -> None:
         "top_suppliers_window",
         "events_sessionize",
         "dedup_keep",
+        "kg_documents",
         "kg_node_docs",
         "kg_frame_conversations",
         "canonicalized_triples",
         "kg_triples_stream_reader",
         "rdf_lists_reconstitute",
         "jsonld_expand_table",
+        "simhash_pairs",
+        "multimodal_plan",
+        "multimodal_decode",
     ]
+    # streaming queries run once (temp-dir setup + query startup
+    # dominate; min-of-N would only re-measure fixed latency)
+    stream_queries = ["stream_triples", "stream_turn_chain"]
     qmap = entry.queries()
     for name in bench_queries:
         dt = float("inf")
@@ -99,6 +107,12 @@ def main() -> None:
             t0 = time.time()
             qmap[name](spark, sf_dir).count()
             dt = min(dt, time.time() - t0)
+        timings[name] = round(dt, 3)
+        total += dt
+    for name in stream_queries:
+        t0 = time.time()
+        qmap[name](spark, sf_dir).count()
+        dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
 
