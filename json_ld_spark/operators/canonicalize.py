@@ -323,9 +323,12 @@ def connected_components(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(mins2.select(F.col("a"), F.col("m").alias("b")))
         )
+        # lazy checkpoint: the checksum agg below is the action that
+        # materializes it — one blocking job per round, not two
         e = cut_lineage(
             ss.filter(F.col("a") != F.col("b")).dropDuplicates(),
             checkpoint_dir,
+            eager=False,
         )
         # bit_xor, not sum: order-independent and cannot overflow
         # (ANSI mode would throw on a long-sum of 2^63-range hashes)

@@ -204,6 +204,8 @@ def reconstitute_lists(
         checkpoint_dir,
     )
     for _ in range(max_iter):
+        # this take(1) doubles as the materializer of the lazy
+        # checkpoint below — one blocking job per doubling round
         todo = state.filter(F.col("ptr") != RDF_NIL)
         if not todo.take(1):
             break
@@ -226,7 +228,7 @@ def reconstitute_lists(
                 F.coalesce(F.col("b.ptr"), F.col("a.ptr")).alias("ptr"),
             )
         )
-        state = cut_lineage(done.union(stepped), checkpoint_dir)
+        state = cut_lineage(done.union(stepped), checkpoint_dir, eager=False)
     # keep only maximal chains (heads that are not some other cell's rest)
     inner = cells.select(F.col("rest").alias("head")).distinct()
     return state.join(inner, "head", "left_anti").select(

@@ -213,6 +213,10 @@ def train_ivf_codebook(
     train on a sample — the codebook only routes; assignment of the
     full corpus is the one big pass."""
     rounded = lambda c: F.transform(c, lambda x: F.round(x, round_dp))  # noqa: E731
+    # materialize the training input once: every Lloyd iteration scans
+    # it (assignment cross join), and without this each iteration
+    # re-runs the upstream read/cast pipeline
+    embeddings = embeddings.select(id_col, vec_col).localCheckpoint()
     cents = build_ivf_centroids(
         embeddings, n_centroids, id_col, vec_col, dim
     ).select("centroid_id", rounded(F.col("centroid")).alias("centroid"),

@@ -27,16 +27,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def cut_lineage(df: DataFrame, checkpoint_dir: "str | None" = None) -> DataFrame:
+def cut_lineage(
+    df: DataFrame,
+    checkpoint_dir: "str | None" = None,
+    eager: bool = True,
+) -> DataFrame:
     """Materialize ``df`` and truncate its lineage.
 
     ``checkpoint_dir=None`` → ``localCheckpoint`` (fast, executor-local,
     not fault-tolerant). Otherwise → reliable ``checkpoint`` into the
     given directory (set once per session; Spark's checkpoint dir is
     session-global, so all reliable checkpoints of a job share it).
+
+    ``eager=False`` defers materialization to the caller's NEXT action.
+    Iterative loops that immediately run a convergence probe (a count /
+    checksum) should pass eager=False so the probe action materializes
+    the checkpoint — one blocking job per round instead of two; with
+    per-round latency dominated by job launch, that halves the fixed
+    cost of every iteration.
     """
     if checkpoint_dir is None:
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=True)
+    return df.checkpoint(eager=eager)
