@@ -317,6 +317,29 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, cents, qvec, k=10, nprobe=_IVF_NPROBE)
 
 
+def q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ANN under the gate: every 100th vector queries the trained
+    IVF index in one plan (ivf_topk_batch — probe join, corpus never
+    shuffles). The oracle replays training + per-query probing +
+    ranking, so the whole serving join is hash-gated."""
+    from json_ld_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk_batch,
+        train_ivf_codebook,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_codebook(
+        emb, n_centroids=_IVF_CELLS, n_iters=_IVF_ITERS
+    )
+    assigned = ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") % _BATCH_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    return ivf_topk_batch(assigned, cents, queries, k=10, nprobe=_IVF_NPROBE)
+
+
 def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -976,13 +999,11 @@ def _lsh_oracle_sql() -> str:
     """
 
 
-def _ivf_oracle_sql() -> str:
-    """DuckDB twin of q_ann_ivf_topk: REPLAY the k-means training —
-    mod-partition init, then per iteration argmax-cosine assignment +
-    per-dim avg update (6-dp rounding after init and every update,
-    empty cells keep their previous centroid) — then the final
-    assignment, probe set, and top-k. Bit-for-bit the Spark
-    train_ivf_codebook recipe."""
+def _ivf_train_ctes() -> tuple[str, str, str]:
+    """Shared DuckDB CTE body replaying train_ivf_codebook: mod init,
+    per-iteration argmax assignment + 6-dp-rounded avg update (empty
+    cells keep the previous centroid), final assignment. Returns
+    (cte_body, final_cents_name, final_assigned_name)."""
 
     def assign_cte(cents: str, k: int) -> str:
         return f"""
@@ -1014,12 +1035,11 @@ def _ivf_oracle_sql() -> str:
     )""")
         prev = f"c{k}"
     final_assign = assign_cte(prev, _IVF_ITERS + 1)
-    return f"""
+    body = f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
-    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
     comp AS (
       SELECT CAST(vec_id % {_IVF_CELLS} AS INT) AS centroid_id, t.i AS i,
              round(avg(v[t.i]), 6) AS c
@@ -1029,16 +1049,62 @@ def _ivf_oracle_sql() -> str:
     c0 AS (
       SELECT centroid_id, list(c ORDER BY i) AS centroid
       FROM comp GROUP BY 1
-    ),{",".join(iters)},{final_assign},
+    ),{",".join(iters)},{final_assign}"""
+    return body, prev, f"a{_IVF_ITERS + 1}"
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB twin of q_ann_ivf_topk: REPLAY the k-means training
+    (_ivf_train_ctes), then the probe set and top-k. Bit-for-bit the
+    Spark train_ivf_codebook recipe."""
+    body, cents, assigned = _ivf_train_ctes()
+    return f"""{body},
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
     probe AS (
-      SELECT centroid_id FROM {prev}, q
+      SELECT centroid_id FROM {cents}, q
       ORDER BY {_sql_cos('centroid', 'qv')} DESC, centroid_id
       LIMIT {_IVF_NPROBE}
     )
     SELECT a.vec_id AS vec_id, round({_sql_cos('a.v', 'q.qv')}, 4) AS cosine
-    FROM a{_IVF_ITERS + 1} a JOIN probe USING (centroid_id), q
+    FROM {assigned} a JOIN probe USING (centroid_id), q
     ORDER BY cosine DESC, vec_id
     LIMIT 10
+    """
+
+
+_BATCH_QUERY_STRIDE = 100
+
+
+def _ivf_batch_oracle_sql() -> str:
+    """DuckDB twin of q_ann_ivf_batch: same trained codebook, then
+    per-query probe selection, candidate join, and per-query top-k —
+    the batch window logic replayed with row_number."""
+    body, cents, assigned = _ivf_train_ctes()
+    return f"""{body},
+    qs AS (
+      SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id % {_BATCH_QUERY_STRIDE} = 0
+    ),
+    bprobe AS (
+      SELECT query_id, centroid_id, qv FROM (
+        SELECT q.query_id, c.centroid_id, q.qv,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_cos('c.centroid', 'q.qv')} DESC, c.centroid_id
+               ) AS rn
+        FROM qs q CROSS JOIN {cents} c
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    bc AS (
+      SELECT p.query_id, a.vec_id,
+             round({_sql_cos('a.v', 'p.qv')}, 4) AS cosine
+      FROM {assigned} a JOIN bprobe p USING (centroid_id)
+    )
+    SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+      FROM bc
+    ) WHERE rk <= 10
     """
 
 
@@ -1066,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_batch": q_ann_ivf_batch,
         "kg_documents": q_kg_documents,
         "kg_node_docs": q_kg_node_docs,
         "kg_frame_conversations": q_kg_frame_conversations,
@@ -1345,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_components": _minhash_oracle_sql(),
         "ann_lsh_topk": _lsh_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "ann_ivf_batch": _ivf_batch_oracle_sql(),
         "ann_brute_topk": """
         WITH q AS (
           SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -78,6 +78,7 @@ def main() -> None:
         "embedding_neardup",
         "ann_brute_topk",
         "ann_ivf_topk",
+        "ann_ivf_batch",
         "ann_lsh_topk",
         "entity_cooccurrence",
         "lineitem_agg",

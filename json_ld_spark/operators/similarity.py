@@ -279,6 +279,67 @@ def ivf_assign(
     )
 
 
+def ivf_topk_batch(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k for MANY query vectors in ONE plan — the serving/dedup
+    shape at scale (per-query driver loops don't distribute; a batch
+    of embeddings queried against an indexed corpus is a join):
+
+      probe:  queries × broadcast(codebook) → per-query top-``nprobe``
+              centroids (window partitioned by query — C rows per
+              partition key, bounded by the codebook size);
+      cand:   assigned ⋈ broadcast(probes) on centroid_id — the
+              corpus-sized side NEVER shuffles; each vector row fans
+              out only to the queries probing its cell;
+      rank:   per-query row_number ≤ k over rounded cosine (the same
+              deterministic tie-break the single-query path uses).
+
+    ``queries`` must be broadcastable (a batch, not a second corpus);
+    for corpus×corpus similarity use the near-dup operators instead.
+    Returns (query_id, vec_id, cosine, rank)."""
+    from pyspark.sql import Window
+
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_csim"), F.col("centroid_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "_csim",
+            cosine_similarity(F.col(query_vec_col), F.col("centroid")),
+        )
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, "centroid_id", query_vec_col)
+    )
+    cands = assigned.join(F.broadcast(probes), "centroid_id")
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        cands.select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 4
+            ).alias("cosine"),
+        )
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") <= k)
+        .select(query_id_col, id_col, "cosine",
+                F.col("_rk").cast("int").alias("rank"))
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -257,6 +257,35 @@ def test_ivf_codebook_deterministic_and_empty_cell_safe(spark, vectors):
     assert many.count() == 12
 
 
+def test_ivf_topk_batch_matches_per_query(spark, vectors):
+    """The one-plan batch join must return exactly what the per-query
+    operator returns for each query — same probes, same ranking."""
+    from json_ld_spark.operators.similarity import (
+        ivf_topk_batch,
+        train_ivf_codebook,
+    )
+
+    cents = train_ivf_codebook(vectors, n_centroids=4, n_iters=3, dim=16)
+    assigned = ivf_assign(vectors, cents).localCheckpoint()
+    qrows = vectors.filter(F.col("vec_id") % 25 == 0).collect()
+    queries = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id int, query_vec array<double>",
+    )
+    batch = ivf_topk_batch(assigned, cents, queries, k=5, nprobe=2)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in batch.collect()
+    }
+    for r in qrows:
+        single = ivf_topk(
+            assigned, cents, [float(x) for x in r["embedding"]],
+            k=5, nprobe=2,
+        ).collect()
+        for rank, s in enumerate(single, start=1):
+            assert got[(r["vec_id"], rank)] == (s["vec_id"], s["cosine"])
+
+
 def test_ivf_codebook_string_ids_fall_back_to_hash(spark, vectors):
     """Non-numeric id columns route through xxhash64 instead of a
     silent NULL-producing cast (advice r2)."""
