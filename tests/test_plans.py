@@ -102,6 +102,33 @@ def test_ivf_assign_no_window_exchange(spark):
     assert "partial_max_by" in plan
 
 
+def test_ivf_batch_corpus_side_never_shuffles(spark):
+    """The batch-ANN candidate join must broadcast the probe set —
+    the corpus-sized assigned table reaches the join with no exchange
+    of its own (the whole point of the serving-join shape)."""
+    from json_ld_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk_batch,
+        train_ivf_codebook,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = train_ivf_codebook(emb, n_centroids=4, n_iters=1)
+    assigned = ivf_assign(emb, cents).localCheckpoint()
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    plan = explain_str(ivf_topk_batch(assigned, cents, queries, k=5))
+    # candidate join is broadcast (probes are the small side) …
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # … and the only exchange below the ranking window partitions by
+    # query_id (the per-query reduce), never by the corpus key
+    window_part = plan.split("Window")[-1]
+    assert "query_id" in window_part
+
+
 def test_document_assembly_partitioning_is_pinned(spark):
     """The per-conversation assembly stage must keep an explicit
     user repartition in the plan — AQE's byte-based coalescing would
