@@ -94,7 +94,6 @@ def main() -> None:
         "kg_triples_stream_reader",
         "rdf_lists_reconstitute",
         "jsonld_expand_table",
-        "simhash_pairs",
         "multimodal_plan",
         "multimodal_decode",
     ]
@@ -117,11 +116,14 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    # minhash production family (xxhash64): the driver query runs the
-    # md5 oracle family for DuckDB parity; throughput is measured on
-    # the fast path (same algorithm, pluggable hash) — key kept as
-    # "minhash_components" for round-over-round comparability
-    from json_ld_spark.operators.dedup import minhash_dedup_components
+    # minhash + simhash production family (xxhash64): the driver
+    # queries run the md5 oracle family for DuckDB parity; throughput
+    # is measured on the fast path (same algorithm, pluggable hash) —
+    # keys kept stable for round-over-round comparability
+    from json_ld_spark.operators.dedup import (
+        minhash_dedup_components,
+        simhash_neardup_pairs,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     dt = float("inf")
@@ -130,6 +132,15 @@ def main() -> None:
         minhash_dedup_components(docs, threshold=0.3).count()
         dt = min(dt, time.time() - t0)
     timings["minhash_components"] = round(dt, 3)
+    total += dt
+    from pyspark.sql import functions as F
+
+    dt = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        simhash_neardup_pairs(docs).filter(F.col("hamming") <= 16).count()
+        dt = min(dt, time.time() - t0)
+    timings["simhash_pairs"] = round(dt, 3)
     total += dt
 
     result = {
