@@ -818,6 +818,35 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs).select("doc_id")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup under the gate: per exact-duplicate group
+    keep the highest-quality document (ties → min id) — dedup composed
+    with the oracled quality score, the keep policy a training
+    pipeline uses. The driver corpus has no exact duplicates, so every
+    10th document gets a PLANTED degraded variant: same normalized
+    fingerprint (whitespace-only change), LOWER doc_id (−1e6), but
+    padded past the 5000-char quality band so its score drops 0.4.
+    A min-id keep policy would keep the degraded copy; keep-best must
+    keep the original on QUALITY — the gate proves the comparison
+    actually decided, not the id order. The kept quality rides along
+    so scoring, grouping, and argmax are all hash-checked."""
+    from json_ld_spark.operators.dedup import exact_dedup_keep_best
+    from json_ld_spark.operators.textstats import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " * 6000)).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    kept = exact_dedup_keep_best(corpus, quality_score(F.col("text")))
+    return kept.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap sessions per user (the classic
     event-time window op a transcript pipeline needs)."""
@@ -1145,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_triples": q_stream_triples,
         "stream_turn_chain": q_stream_turn_chain,
         "dedup_keep": q_dedup_keep,
+        "dedup_keep_best": q_dedup_keep_best,
         "events_sessionize": q_events_sessionize,
         "lineitem_agg": q_lineitem_agg,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1456,6 +1486,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, row_number() OVER (
             PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
           FROM documents
+        ) WHERE rn = 1
+        """,
+        "dedup_keep_best": f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id - 1000000, text || repeat(' ', 6000)
+          FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT doc_id, round({quality}, 6) AS quality FROM (
+          SELECT doc_id, text, row_number() OVER (
+            PARTITION BY md5({norm})
+            ORDER BY ({quality}) DESC, doc_id) AS rn
+          FROM corpus
         ) WHERE rn = 1
         """,
         "events_sessionize": """

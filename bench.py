@@ -87,6 +87,7 @@ def main() -> None:
         "top_suppliers_window",
         "events_sessionize",
         "dedup_keep",
+        "dedup_keep_best",
         "kg_documents",
         "kg_node_docs",
         "kg_frame_conversations",

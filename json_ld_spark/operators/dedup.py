@@ -49,6 +49,29 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def exact_dedup_keep_best(
+    docs: DataFrame,
+    score_col,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup keeping the BEST row per duplicate group — max
+    ``score_col`` (a Column expression, e.g. textstats.quality_score),
+    ties broken by min id. This is the keep policy a training pipeline
+    actually wants: the cleanest copy of each duplicated document, not
+    the lowest id. Same single shuffle as exact_dedup (the fingerprint
+    partition); the score is a JVM expression evaluated pre-shuffle."""
+    w = Window.partitionBy(fingerprint_md5(F.col(text_col))).orderBy(
+        F.desc("_score"), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_score", score_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_score")
+    )
+
+
 def minhash_dedup_components(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -309,6 +309,25 @@ def test_embedding_neardup_blocks(spark, vectors):
         assert r["id_a"] // 25 == r["id_b"] // 25
 
 
+def test_exact_dedup_keep_best(spark):
+    """Keep-best retains the max-score row per duplicate group (ties →
+    min id), NOT the min id — the policy difference from exact_dedup."""
+    from json_ld_spark.operators.dedup import exact_dedup, exact_dedup_keep_best
+
+    rows = [
+        (1, "Hello   World", 0.2),   # low quality, lowest id
+        (2, "hello world", 0.9),     # same fingerprint, best
+        (3, "hello world  ", 0.9),   # tie with 2 → 2 wins (min id)
+        (4, "unique text", 0.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, score double")
+    kept = {r["doc_id"] for r in
+            exact_dedup_keep_best(df, F.col("score")).collect()}
+    assert kept == {2, 4}
+    # contrast: min-id policy keeps 1
+    assert {r["doc_id"] for r in exact_dedup(df).collect()} == {1, 4}
+
+
 def test_textstats_values(spark):
     from json_ld_spark.operators.textstats import document_stats
 
