@@ -360,7 +360,13 @@ def apply_merge_map(
     triples: DataFrame, merge_map: DataFrame, cols: tuple[str, ...] = ("subj", "obj_value")
 ) -> DataFrame:
     """Relabel merged IRIs/bnodes in the triples table via broadcast
-    left joins (merge maps are dimension-sized: entities ≪ triples)."""
+    left joins (merge maps are dimension-sized: entities ≪ triples).
+
+    When the frame carries an ``obj_is_iri`` column, the object column
+    is only relabeled on IRI/bnode rows — a LITERAL whose text happens
+    to equal a merged IRI (e.g. a turn quoting an entity URL) must
+    keep its text; only term identity merges."""
+    has_iri_flag = "obj_is_iri" in triples.columns
     out = triples
     for i, c in enumerate(cols):
         mm = F.broadcast(
@@ -368,8 +374,11 @@ def apply_merge_map(
                 F.col("from_id").alias(f"_from_{i}"), F.col("to_id").alias(f"_to_{i}")
             )
         )
+        join_cond = F.col(c) == F.col(f"_from_{i}")
+        if c == "obj_value" and has_iri_flag:
+            join_cond = join_cond & F.col("obj_is_iri")
         out = (
-            out.join(mm, F.col(c) == F.col(f"_from_{i}"), "left")
+            out.join(mm, join_cond, "left")
             .withColumn(c, F.coalesce(F.col(f"_to_{i}"), F.col(c)))
             .drop(f"_from_{i}", f"_to_{i}")
         )

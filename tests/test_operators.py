@@ -106,6 +106,42 @@ def test_connected_components_deep_chain_log_rounds(spark):
     assert stats["rounds"] <= 17, stats
 
 
+def test_connected_components_hot_star_skew(spark):
+    """A hot-star graph (one hub, 50k leaves — the entity-alias skew
+    shape: one canonical entity with a huge alias fan) must converge
+    in O(1) rounds under large-star/small-star; naive propagation is
+    fine on stars, but the hub's edge partition must not explode."""
+    n = 50_000
+    edges = spark.range(1, n).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+    )
+    stats: dict = {}
+    rows = connected_components(edges, stats=stats)
+    assert rows.filter(F.col("component") != 0).count() == 0
+    assert rows.count() == n
+    assert stats["rounds"] <= 3, stats
+
+
+def test_merge_map_skips_literals_matching_an_iri(spark):
+    """A literal whose TEXT equals a merged IRI must not be relabeled
+    when the frame carries obj_is_iri — only term identity merges."""
+    mm = spark.createDataFrame(
+        [("http://e/alias", "http://e/canon")], "from_id string, to_id string"
+    )
+    triples = spark.createDataFrame(
+        [
+            ("s1", "p", "http://e/alias", True),   # IRI object → relabel
+            ("s2", "p", "http://e/alias", False),  # literal quoting it → keep
+        ],
+        "subj string, pred string, obj_value string, obj_is_iri boolean",
+    )
+    out = {
+        (r["subj"], r["obj_value"])
+        for r in apply_merge_map(triples, mm, cols=("obj_value",)).collect()
+    }
+    assert out == {("s1", "http://e/canon"), ("s2", "http://e/alias")}
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir routes per-round materialization through the
     RELIABLE checkpoint (fault-tolerant on a real cluster); results
