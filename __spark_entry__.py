@@ -847,6 +847,37 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16
+_SAMPLE_FRACTION = 0.1
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking under the gate: every document split into
+    64-token windows with 16-token overlap, entirely in JVM column
+    expressions — the oracle recomputes window starts, slices, and
+    joined text exactly."""
+    from json_ld_spark.operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash sampling under the gate (md5 cross-engine family): the
+    kept row set is a pure function of the key — reproducible across
+    engines, partitionings, and corpus growth (a kept key stays kept
+    under appends, the property incremental pipelines need)."""
+    from json_ld_spark.operators.corpus import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return deterministic_sample(
+        docs, _SAMPLE_FRACTION, "doc_id", hash_family="md5"
+    ).select("doc_id")
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap sessions per user (the classic
     event-time window op a transcript pipeline needs)."""
@@ -1175,6 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_turn_chain": q_stream_turn_chain,
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
+        "chunk_documents": q_chunk_documents,
+        "deterministic_sample": q_deterministic_sample,
         "events_sessionize": q_events_sessionize,
         "lineitem_agg": q_lineitem_agg,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1602,6 +1635,42 @@ def oracle_sql() -> dict[str, str]:
           FROM i
         )
         SELECT * FROM vf UNION ALL SELECT * FROM ip
+        """
+    stride = _CHUNK_TOKENS - _CHUNK_OVERLAP
+    d["chunk_documents"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 trim(regexp_replace(text, '\\s+', ' ', 'g')) AS tt
+          FROM documents
+        ),
+        dd AS (
+          SELECT doc_id,
+                 CASE WHEN length(tt) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split(tt, ' ') END AS toks
+          FROM t
+        ),
+        w AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, greatest(
+                   CAST(ceil((len(toks) - {_CHUNK_TOKENS}) / {stride}.0)
+                        AS INT), 0))) AS widx
+          FROM dd
+        )
+        SELECT doc_id, CAST(widx AS INT) AS chunk_idx,
+               array_to_string(list_slice(
+                 toks, widx * {stride} + 1,
+                 widx * {stride} + {_CHUNK_TOKENS}), ' ') AS chunk_text,
+               CAST(len(list_slice(
+                 toks, widx * {stride} + 1,
+                 widx * {stride} + {_CHUNK_TOKENS})) AS INT) AS n_tokens
+        FROM w
+        """
+    d["deterministic_sample"] = f"""
+        SELECT doc_id FROM documents
+        WHERE CAST(concat('0x', substring(
+                md5(concat(CAST(doc_id AS VARCHAR), '-7')), 1, 15))
+              AS BIGINT) % 1000000
+              < {int(_SAMPLE_FRACTION * 1_000_000)}
         """
     # streaming oracles: the streamed triple set equals the batch
     # answer minus nextTurn links (ordered=False — a micro-batch sees

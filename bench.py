@@ -88,6 +88,8 @@ def main() -> None:
         "events_sessionize",
         "dedup_keep",
         "dedup_keep_best",
+        "chunk_documents",
+        "deterministic_sample",
         "kg_documents",
         "kg_node_docs",
         "kg_frame_conversations",

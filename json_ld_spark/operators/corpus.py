@@ -1,0 +1,112 @@
+"""Corpus-preparation operators: chunking and deterministic sampling.
+
+The ops every large-scale training-data pipeline runs between raw
+documents and the tokenizer:
+
+  - chunk_documents: split each document into fixed-size token windows
+    with overlap (context-window packing / RAG prep). Pure JVM column
+    expressions — split once, slice per window — no Python in the
+    path, no shuffle at all (chunking is embarrassingly parallel).
+  - deterministic_sample: keep a fraction of rows chosen by a hash of
+    a key — reproducible across runs/engines/cluster sizes, unlike
+    DataFrame.sample whose output depends on partitioning. Hash
+    sampling is also STABLE under corpus growth: a kept key stays
+    kept when new data arrives (the property incremental pipelines
+    need).
+
+Both have md5-family variants so the driver's DuckDB oracle recomputes
+them bit-for-bit (same policy as the minhash/simhash families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_tokens): whitespace-token windows
+    of ``chunk_tokens`` tokens advancing by ``chunk_tokens - overlap``.
+
+    The last window may be short; a document shorter than one window
+    yields exactly one chunk; empty/blank documents yield one empty
+    chunk (callers filter if unwanted — silent row loss is worse).
+    Window starts are a ``sequence`` over the staged token array, so
+    the token split runs once per document (HOFs have no CSE — the
+    array must be staged, see pyspark pitfalls in canonicalize.py).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    trimmed = F.trim(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        F.when(F.length(trimmed) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(trimmed, " "))
+        .alias("_toks"),
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((F.size("_toks") - F.lit(chunk_tokens)) / F.lit(stride))
+            .cast("int"),
+            F.lit(0),
+        ),
+    )
+    return (
+        staged.select(
+            "id",
+            "_toks",
+            F.posexplode(starts).alias("chunk_idx", "_w"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.slice(
+                F.col("_toks"), F.col("_w") * stride + 1, chunk_tokens
+            ).alias("_window"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "chunk_idx",
+            F.array_join("_window", " ").alias("chunk_text"),
+            F.size("_window").alias("n_tokens"),
+        )
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    seed: int = 7,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Rows whose key hashes under ``fraction`` — reproducible sampling
+    that is independent of partitioning and stable under appends.
+
+    hash_family "md5" uses the cross-engine md5-prefix bucket
+    (dedup.md5_hash60 mod 1e6) so a SQL oracle reproduces the exact
+    row set; xxhash64 is the production default."""
+    denom = 1_000_000
+    thresh = int(fraction * denom)
+    if hash_family == "md5":
+        from json_ld_spark.operators.dedup import md5_hash60
+
+        bucket = F.pmod(
+            md5_hash60(F.concat(F.col(key_col).cast("string"),
+                                F.lit(f"-{seed}"))),
+            F.lit(denom),
+        )
+    else:
+        bucket = F.pmod(
+            F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)),
+            F.lit(denom),
+        )
+    return df.filter(bucket < thresh)

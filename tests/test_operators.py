@@ -364,6 +364,52 @@ def test_exact_dedup_keep_best(spark):
     assert {r["doc_id"] for r in exact_dedup(df).collect()} == {1, 4}
 
 
+def test_chunk_documents_windows(spark):
+    """Window arithmetic: overlap honored, tail window short, full
+    coverage in order, short/empty docs yield exactly one chunk."""
+    from json_ld_spark.operators.corpus import chunk_documents
+
+    text_100 = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, text_100), (2, "a b c"), (3, ""), (4, "   ")],
+        "doc_id int, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    }
+    # doc 1: windows at token 0 and 48 (stride 48) → 64 + 52 tokens
+    assert rows[(1, 0)]["n_tokens"] == 64
+    assert rows[(1, 1)]["n_tokens"] == 52
+    assert rows[(1, 0)]["chunk_text"].split()[:2] == ["w0", "w1"]
+    assert rows[(1, 1)]["chunk_text"].split()[0] == "w48"  # overlap start
+    assert rows[(1, 1)]["chunk_text"].split()[-1] == "w99"  # tail covered
+    assert rows[(2, 0)]["n_tokens"] == 3 and (2, 1) not in rows
+    assert rows[(3, 0)]["n_tokens"] == 0
+    assert rows[(4, 0)]["n_tokens"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=16, overlap=16)
+
+
+def test_deterministic_sample_stable_under_append(spark):
+    """The kept set is a function of the key: identical across runs,
+    and appending new rows never changes which old rows are kept."""
+    from json_ld_spark.operators.corpus import deterministic_sample
+
+    base = spark.range(1000).select(F.col("id").alias("doc_id"))
+    kept1 = {r["doc_id"] for r in
+             deterministic_sample(base, 0.2, "doc_id").collect()}
+    kept2 = {r["doc_id"] for r in
+             deterministic_sample(base, 0.2, "doc_id").collect()}
+    assert kept1 == kept2 and 100 < len(kept1) < 300
+    grown = spark.range(2000).select(F.col("id").alias("doc_id"))
+    kept_grown = {r["doc_id"] for r in
+                  deterministic_sample(grown, 0.2, "doc_id").collect()}
+    assert {k for k in kept_grown if k < 1000} == kept1
+
+
 def test_textstats_values(spark):
     from json_ld_spark.operators.textstats import document_stats
 
