@@ -811,6 +811,87 @@ def q_stream_turn_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation under the gate: the events
+    table is replayed as THREE ordered micro-batches — batch 0 the
+    early corpus, batch 1 advances the watermark and EVICTS the early
+    windows, batch 2 carries planted late copies of early events (ids
+    +1e7, ~4 days below the watermark) that must now be DROPPED. The
+    three-batch shape matters: Spark drops a late row only once its
+    window state was evicted in a PRIOR batch — a late row arriving in
+    the same batch that evicts its window still merges (measured; the
+    docs' drop guarantee is eviction-relative, not wall-watermark-
+    relative). Final emitted windows (end ≤ max(ts) − 30 min) must
+    hold exactly the original rows — a counted late copy, a mis-closed
+    window, or a broken watermark all fail the hash. This was the one
+    streaming operator family with no CORRECTNESS row."""
+    import datetime
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from json_ld_spark.streaming.stream_pipeline import stream_event_counts
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(*cols)
+    tmax = ev.agg(F.max("ts")).collect()[0][0]  # 1-row parameter fetch
+    t1 = tmax - datetime.timedelta(hours=96)
+    t2 = tmax - datetime.timedelta(hours=48)
+    t_old = t1 - datetime.timedelta(hours=48)
+    f0 = ev.filter(F.col("ts") < F.lit(t1))
+    f1 = ev.filter((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2)))
+    planted = (
+        f0.filter(
+            (F.col("ts") < F.lit(t_old)) & (F.col("event_id") % 20 == 0)
+        )
+        .select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            "ts", "user_id", "event_type", "value",
+        )
+    )
+    f2 = ev.filter(F.col("ts") >= F.lit(t2)).unionByName(planted)
+
+    base = tempfile.mkdtemp(prefix="kgwin_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(in_dir)
+    for i, part in enumerate((f0, f1, f2)):
+        tmp = os.path.join(base, f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp)
+        src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, f"batch{i}.parquet")
+        shutil.copy(src, dest)
+        os.utime(dest, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    counts = stream_event_counts(stream)
+    q = (
+        counts.writeStream.foreachBatch(
+            lambda df, _eid: df.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select(
+        "window_start", "window_end", "event_type", "n_events", "total_value"
+    )
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.operators.dedup import exact_dedup
 
@@ -1204,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "stream_triples": q_stream_triples,
         "stream_turn_chain": q_stream_turn_chain,
+        "stream_windowed_counts": q_stream_windowed_counts,
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
         "chunk_documents": q_chunk_documents,
@@ -1684,6 +1766,24 @@ def oracle_sql() -> dict[str, str]:
     d["stream_turn_chain"] = f"""
         SELECT conv_id, turn_idx, next_turn_idx FROM ({_T_CTE})
         WHERE next_turn_idx IS NOT NULL
+        """
+    # watermark oracle: emitted windows are those the final watermark
+    # (global max ts − 30 min) closed; they must hold exactly the
+    # ORIGINAL rows — the planted late copies never appear because the
+    # watermark dropped them (t1/t_old choice guarantees they arrive
+    # ≥47.5h below the batch-1 watermark)
+    d["stream_windowed_counts"] = """
+        WITH wm AS (
+          SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+        )
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events, wm
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+        GROUP BY 1, 2, 3
         """
     # decoded-bytes oracle: the Spark side DECODES real PPM/WAV/ppm-seq
     # payloads; the oracle recomputes the statistics from the closed-

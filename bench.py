@@ -102,7 +102,8 @@ def main() -> None:
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)
-    stream_queries = ["stream_triples", "stream_turn_chain"]
+    stream_queries = ["stream_triples", "stream_turn_chain",
+                      "stream_windowed_counts"]
     qmap = entry.queries()
     for name in bench_queries:
         dt = float("inf")

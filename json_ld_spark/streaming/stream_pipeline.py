@@ -79,6 +79,38 @@ def stream_turn_rate(
     )
 
 
+def stream_event_counts(
+    events_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked event-time windowed aggregation (append mode): the
+    late-data-dropping monitoring aggregate. A row older than the
+    current watermark is DROPPED; a window is emitted once the
+    watermark passes its end — the semantics the stream_windowed_counts
+    driver query gates against the batch answer (emitted windows must
+    hold exactly the non-late rows)."""
+    # watermarks require TIMESTAMP (LTZ); parquet events carry NTZ —
+    # the session runs UTC, so the cast preserves wall-clock and the
+    # output casts back to NTZ for engine-neutral comparison
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stateful_turn_chain(
     transcripts_stream: DataFrame,
     timeout_minutes: "int | None" = 30,
