@@ -9,6 +9,7 @@ SimHash banding) have no oracle entry → driver records rows-only.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -720,6 +721,79 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stats(media, every_n=_DECODE_EVERY_N)
 
 
+def _fresh_stream_dir(prefix: str) -> str:
+    """mkdtemp for a streaming replay, sweeping stale siblings from
+    earlier runs first — each replay stages a parquet copy of the
+    corpus, and without the sweep repeated gate/bench runs would
+    accumulate multi-MB directories in /tmp indefinitely."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    tmp_root = tempfile.gettempdir()
+    cutoff = _time.time() - 3600
+    for name in os.listdir(tmp_root):
+        if name.startswith(prefix):
+            full = os.path.join(tmp_root, name)
+            try:
+                if os.path.getmtime(full) < cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def _stage_ordered_batches(base: str, parts) -> str:
+    """Write each part as ONE parquet file into base/in with strictly
+    increasing mtimes — the file source orders batches by modification
+    time, which is what makes the replay's batch sequence (and
+    therefore watermark/state evolution) deterministic."""
+    import glob as _glob
+    import shutil
+
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    for i, part in enumerate(parts):
+        tmp = os.path.join(base, f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp)
+        src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, f"batch{i}.parquet")
+        shutil.copy(src, dest)
+        os.utime(dest, (1_700_000_000 + i * 1000,) * 2)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return in_dir
+
+
+def _run_available_now(result_stream, base: str) -> str:
+    """foreachBatch → parquet sink, availableNow trigger, VERIFIED
+    termination (a timed-out replay must fail loudly, not hand the
+    gate a partial sink). The input and checkpoint dirs — the bulk of
+    the footprint — are removed after the run; only the small sink
+    survives for the caller to read."""
+    import shutil
+
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    q = (
+        result_stream.writeStream.foreachBatch(
+            lambda df, _eid: df.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        terminated = q.awaitTermination(300)
+    finally:
+        q.stop()
+    if not terminated:
+        raise RuntimeError("streaming replay did not terminate in 300s")
+    shutil.rmtree(os.path.join(base, "in"), ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out_dir
+
+
 def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming emission under the gate: the transcript
     corpus is replayed as a 4-file parquet stream through the REAL
@@ -731,13 +805,12 @@ def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversation prefix (streaming_writer.rb:14-125 defers reordering
     the same way). Micro-batch boundaries cannot affect the result:
     the gate proves exactly that."""
-    import os
-    import tempfile
+    import shutil
 
     from json_ld_spark.operators.jsonld_ops import valid_triples
     from json_ld_spark.streaming.stream_pipeline import stream_triples
 
-    base = tempfile.mkdtemp(prefix="kgstream_")
+    base = _fresh_stream_dir("kgstream_")
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -748,6 +821,9 @@ def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    # the staged corpus copy and checkpoint are the bulk — drop them
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     out = spark.read.parquet(out_dir)
     return valid_triples(out).select(*_TRIPLE_COLS).dropDuplicates()
 
@@ -760,30 +836,15 @@ def q_stream_turn_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-batch window cannot see them. The full link set must
     equal the batch lead() answer: a dropped state update, a wrong
     timeout, or mis-sorted batch arrival all fail the hash."""
-    import glob as _glob
-    import os
-    import shutil
-    import tempfile
-
     from json_ld_spark.sources.transcripts import TRANSCRIPT_SCHEMA
     from json_ld_spark.streaming.stream_pipeline import stateful_turn_chain
 
-    base = tempfile.mkdtemp(prefix="kgchain_")
-    in_dir = os.path.join(base, "in")
-    out_dir = os.path.join(base, "out")
-    ckpt = os.path.join(base, "ckpt")
-    os.makedirs(in_dir)
+    base = _fresh_stream_dir("kgchain_")
     der = _derived(spark, sf_dir)
-    for i, part in enumerate(
-        (der.filter(F.col("turn_idx") < 3), der.filter(F.col("turn_idx") >= 3))
-    ):
-        tmp = os.path.join(base, f"tmp{i}")
-        part.coalesce(1).write.parquet(tmp)
-        src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dest = os.path.join(in_dir, f"batch{i}.parquet")
-        shutil.copy(src, dest)
-        # file-source batches are ordered by modification time: pin it
-        os.utime(dest, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+    in_dir = _stage_ordered_batches(
+        base,
+        (der.filter(F.col("turn_idx") < 3), der.filter(F.col("turn_idx") >= 3)),
+    )
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -793,19 +854,7 @@ def q_stream_turn_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a processing-time state timeout keeps scheduling timeout-
     # evaluation batches and the query never terminates on its own
     chain = stateful_turn_chain(stream, timeout_minutes=None)
-    q = (
-        chain.writeStream.foreachBatch(
-            lambda df, _eid: df.write.mode("append").parquet(out_dir)
-        )
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
+    out_dir = _run_available_now(chain, base)
     return spark.read.parquet(out_dir).select(
         "conv_id", "turn_idx", "next_turn_idx"
     )
@@ -826,10 +875,6 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, or a broken watermark all fail the hash. This was the one
     streaming operator family with no CORRECTNESS row."""
     import datetime
-    import glob as _glob
-    import os
-    import shutil
-    import tempfile
 
     from json_ld_spark.streaming.stream_pipeline import stream_event_counts
 
@@ -852,18 +897,8 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f2 = ev.filter(F.col("ts") >= F.lit(t2)).unionByName(planted)
 
-    base = tempfile.mkdtemp(prefix="kgwin_")
-    in_dir = os.path.join(base, "in")
-    out_dir = os.path.join(base, "out")
-    ckpt = os.path.join(base, "ckpt")
-    os.makedirs(in_dir)
-    for i, part in enumerate((f0, f1, f2)):
-        tmp = os.path.join(base, f"tmp{i}")
-        part.coalesce(1).write.parquet(tmp)
-        src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dest = os.path.join(in_dir, f"batch{i}.parquet")
-        shutil.copy(src, dest)
-        os.utime(dest, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+    base = _fresh_stream_dir("kgwin_")
+    in_dir = _stage_ordered_batches(base, (f0, f1, f2))
     schema = (
         "event_id long, ts timestamp_ntz, user_id long, "
         "event_type string, value double"
@@ -873,20 +908,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    counts = stream_event_counts(stream)
-    q = (
-        counts.writeStream.foreachBatch(
-            lambda df, _eid: df.write.mode("append").parquet(out_dir)
-        )
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
+    out_dir = _run_available_now(stream_event_counts(stream), base)
     return spark.read.parquet(out_dir).select(
         "window_start", "window_end", "event_type", "n_events", "total_value"
     )

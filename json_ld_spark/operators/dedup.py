@@ -80,10 +80,14 @@ def minhash_dedup_components(
     bands: int = 8,
     threshold: float = 0.8,
     hash_family: str = "xxhash64",
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """(id, component): near-duplicate clusters via MinHash blocking →
     Jaccard verify → connected components. Singletons omitted.
-    hash_family "md5" = the cross-engine family (full SQL oracle)."""
+    hash_family "md5" = the cross-engine family (full SQL oracle).
+    ``checkpoint_dir``: reliable per-round checkpoints for the CC
+    iterations (pass it on a real cluster — hours-long CC must survive
+    executor loss; see plans/checkpoints.py)."""
     from json_ld_spark.operators.canonicalize import hashed_shingle_sets
 
     # one shingle pass feeds both blocking and verification
@@ -95,7 +99,9 @@ def minhash_dedup_components(
     verified = jaccard_filter(
         pairs, docs, id_col, text_col, threshold, shingle_sets=sets_
     )
-    return connected_components(verified.select("id_a", "id_b"))
+    return connected_components(
+        verified.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
+    )
 
 
 def md5_hash60(col):

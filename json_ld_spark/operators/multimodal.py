@@ -126,8 +126,15 @@ def decode_image(
     falls back to a deterministic digest fake (0×0 dims) so plumbing
     tests can run on arbitrary bytes."""
     if payload[:2] == b"P6":
-        w, h, pixels, _ = _parse_ppm(payload)
-        return w, h, pixels
+        try:
+            w, h, pixels, _ = _parse_ppm(payload)
+            return w, h, pixels
+        except (ValueError, IndexError):
+            # malformed P6: strict surfaces it (a synthetic payload
+            # failing to parse is a bug); non-strict honors the
+            # documented digest-fallback contract
+            if strict:
+                raise
     if strict:
         raise NotImplementedError(
             "compressed image codecs need Pillow; only PPM (P6) decodes "
@@ -143,11 +150,17 @@ def decode_audio(
     via the stdlib ``wave`` module. Non-WAV payloads: strict raises,
     non-strict falls back to the digest fake."""
     if payload[:4] == b"RIFF":
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            if w.getsampwidth() != 2 or w.getnchannels() != 1:
-                raise ValueError("only PCM16 mono supported")
-            n = w.getnframes()
-            return w.getframerate(), n, w.readframes(n)
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                    raise ValueError("only PCM16 mono supported")
+                n = w.getnframes()
+                return w.getframerate(), n, w.readframes(n)
+        except (ValueError, EOFError, wave.Error):
+            # corrupt/unsupported RIFF: strict surfaces it, non-strict
+            # honors the digest-fallback contract
+            if strict:
+                raise
     if strict:
         raise NotImplementedError(
             "compressed audio codecs need torchaudio/ffmpeg; only WAV "
@@ -171,11 +184,17 @@ def decode_video_frames(
         return []
     out = []
     offset, idx = 0, 0
-    while offset < len(payload):
-        w, h, pixels, nxt = _parse_ppm(payload, offset)
-        if idx % every_n == 0:
-            out.append((idx, w, h, pixels))
-        offset, idx = nxt, idx + 1
+    try:
+        while offset < len(payload):
+            w, h, pixels, nxt = _parse_ppm(payload, offset)
+            if idx % every_n == 0:
+                out.append((idx, w, h, pixels))
+            offset, idx = nxt, idx + 1
+    except (ValueError, IndexError):
+        # truncated/garbled tail: strict surfaces it, non-strict
+        # returns the frames decoded so far (fallback contract)
+        if strict:
+            raise
     return out
 
 

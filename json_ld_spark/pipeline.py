@@ -36,13 +36,18 @@ LINEAGE_SCHEMA = (
 )
 
 
-def alias_merge_map(spark: SparkSession, aliases: Optional[DataFrame] = None) -> DataFrame:
+def alias_merge_map(
+    spark: SparkSession,
+    aliases: Optional[DataFrame] = None,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
     """Merge map for entity aliases: minhash-block alias surface forms,
     verify with Jaccard, connect components, pick canonical heads.
 
     ``aliases`` is an (entity_iri, surface) DataFrame; defaults to the
     built-in gazetteer (exercises the operators; real corpora pass the
-    discovered-alias table here).
+    discovered-alias table here). ``checkpoint_dir``: reliable
+    per-round checkpoints for the CC iterations on a real cluster.
     """
     if aliases is None:
         from json_ld_spark.sources.gazetteer import GAZETTEER, entity_iri
@@ -55,7 +60,9 @@ def alias_merge_map(spark: SparkSession, aliases: Optional[DataFrame] = None) ->
     verified = jaccard_filter(
         pairs, aliases, id_col="entity_iri", text_col="surface", threshold=0.85
     )
-    comps = connected_components(verified.select("id_a", "id_b"))
+    comps = connected_components(
+        verified.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
+    )
     return build_merge_map(comps)
 
 

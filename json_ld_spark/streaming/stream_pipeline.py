@@ -149,12 +149,18 @@ def stateful_turn_chain(
             state.remove()
             return
         last = state.get[0] if state.exists else None
+        # collect ALL chunks before sorting: a big group arrives as
+        # multiple Arrow chunks (maxRecordsPerBatch) in shuffle order —
+        # sorting per chunk would link across chunk boundaries wrongly
+        # and carry a wrong last-turn into state
+        idxs = sorted(
+            int(x) for pdf in pdf_iter for x in pdf["turn_idx"]
+        )
         rows = []
-        for pdf in pdf_iter:
-            for idx in sorted(int(x) for x in pdf["turn_idx"]):
-                if last is not None:
-                    rows.append((conv_id, last, idx))
-                last = idx
+        for idx in idxs:
+            if last is not None:
+                rows.append((conv_id, last, idx))
+            last = idx
         state.update((last,))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)

@@ -65,6 +65,55 @@ def test_strict_codec_raises_on_compressed_formats():
         decode_audio(b"ID3\x04mp3ish", strict=True)
 
 
+def test_non_strict_fallback_on_malformed_recognized_payloads():
+    """A payload with a recognized container prefix but malformed body
+    must honor the digest-fallback contract in non-strict mode (and
+    surface the parse error in strict mode) — a single truncated blob
+    must not fail a whole Spark task."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from json_ld_spark.operators.multimodal import (
+        decode_audio,
+        decode_video_frames,
+    )
+
+    truncated_ppm = b"P6\n8 8\n255\n" + b"\x01" * 10  # needs 192 bytes
+    w, h, data = decode_image(truncated_ppm, strict=False)
+    assert (w, h) == (0, 0) and len(data) == 32  # digest fallback
+    with pytest.raises(ValueError):
+        decode_image(truncated_ppm, strict=True)
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:  # stereo → unsupported
+        wv.setnchannels(2)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(np.zeros(8, dtype="<i2").tobytes())
+    rate, n, data = decode_audio(buf.getvalue(), strict=False)
+    assert (rate, n) == (0, 0) and len(data) == 32
+    with pytest.raises(ValueError):
+        decode_audio(buf.getvalue(), strict=True)
+
+    # ppm-seq with a garbled tail: non-strict keeps decoded frames
+    from json_ld_spark.operators.multimodal import (
+        VIDEO_H,
+        VIDEO_W,
+        _image_pixels,
+        _ppm_payload,
+    )
+
+    fb = VIDEO_W * VIDEO_H * 3
+    good = _ppm_payload(VIDEO_W, VIDEO_H, _image_pixels(3, fb).tobytes())
+    frames = decode_video_frames(good + b"P6\nbroken", every_n=1,
+                                 strict=False)
+    assert [f[0] for f in frames] == [0]
+    with pytest.raises(ValueError):
+        decode_video_frames(good + b"P6\nbroken", every_n=1, strict=True)
+
+
 def test_ppm_round_trip():
     """Real encode→decode: PPM bytes parse back to the exact pixels."""
     from json_ld_spark.operators.multimodal import (

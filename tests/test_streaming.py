@@ -133,3 +133,53 @@ def test_stateful_turn_chain_links_across_batches(spark, tmp_path):
     assert ("c1", 0, 1) in got
     assert ("c1", 1, 2) in got, f"cross-batch link missing: {got}"
     assert ("c2", 0, 1) in got
+
+
+def test_stateful_turn_chain_sorts_across_arrow_chunks(spark, tmp_path):
+    """A group whose batch spans MULTIPLE Arrow chunks must be sorted
+    globally before linking: per-chunk sorting links across chunk
+    boundaries wrongly and carries the wrong last-turn into state
+    (regression: the chain function used to sort per pdf chunk)."""
+    import glob
+
+    from json_ld_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from json_ld_spark.streaming.stream_pipeline import stateful_turn_chain
+
+    n = 40
+    # reversed order so any chunking that isn't globally sorted breaks
+    rows = [
+        ("c1", i, "user", f"t{i}", None, datetime.datetime(2024, 1, 1, 0, 0))
+        for i in reversed(range(n))
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    staging = tmp_path / "stage"
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(
+        str(staging)
+    )
+    part = glob.glob(str(staging / "part-*.parquet"))[0]
+    shutil.copy(part, str(in_dir / "batch0.parquet"))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .parquet(str(in_dir))
+        )
+        links = stateful_turn_chain(stream, timeout_minutes=None)
+        q = (
+            links.writeStream.format("memory")
+            .queryName("turn_chain_chunks")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = sorted(
+        (r.turn_idx, r.next_turn_idx)
+        for r in spark.sql("SELECT * FROM turn_chain_chunks").collect()
+    )
+    assert got == [(i, i + 1) for i in range(n - 1)]
