@@ -297,6 +297,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_ITERS = 2
 
 
+def q_ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-probe LSH under the gate: every 100th vector queries
+    the corpus in one plan (lsh_topk_batch — probe table broadcast,
+    corpus bucketed once, never shuffled). Literal planes make the
+    whole approximate result set reproducible by the SQL oracle."""
+    from json_ld_spark.operators.similarity import lsh_topk_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % _BATCH_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return lsh_topk_batch(
+        emb, queries, k=10, planes=_lsh_planes(), probe_radius=1
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with a TRAINED codebook: k-means (fixed seedless
     recipe — mod-partition init + 2 Lloyd iterations, centroids
@@ -1162,6 +1179,49 @@ def _lsh_oracle_sql() -> str:
     """
 
 
+def _lsh_batch_oracle_sql() -> str:
+    """DuckDB twin of q_ann_lsh_batch: identical literal planes →
+    per-query probe neighborhoods → candidate join → per-query
+    ranking."""
+    planes = _lsh_planes()
+    bucket_terms = []
+    for p, weights in enumerate(planes):
+        lit = "[" + ", ".join(f"{w:.1f}" for w in weights) + "]"
+        bit = 1 << (_LSH_PLANES - 1 - p)
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
+            f"THEN CAST({bit} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    flips = [0] + [1 << i for i in range(_LSH_PLANES)]
+    flip_vals = ", ".join(f"({m})" for m in flips)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, {bucket} AS bkt FROM e),
+    qs AS (
+      SELECT vec_id AS query_id, v AS qv, bkt AS qb FROM b
+      WHERE vec_id % {_BATCH_QUERY_STRIDE} = 0
+    ),
+    p AS (
+      SELECT DISTINCT query_id, qv, xor(qb, CAST(f.x AS BIGINT)) AS bkt
+      FROM qs, (VALUES {flip_vals}) f(x)
+    ),
+    c AS (
+      SELECT p.query_id, b.vec_id,
+             round({_sql_cos('b.v', 'p.qv')}, 4) AS cosine
+      FROM b JOIN p USING (bkt)
+    )
+    SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+      FROM c
+    ) WHERE rk <= 10
+    """
+
+
 def _ivf_train_ctes() -> tuple[str, str, str]:
     """Shared DuckDB CTE body replaying train_ivf_codebook: mod init,
     per-iteration argmax assignment + 6-dp-rounded avg update (empty
@@ -1294,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_batch": q_ann_lsh_batch,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_batch": q_ann_ivf_batch,
         "kg_documents": q_kg_documents,
@@ -1578,6 +1639,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle_sql(),
         "minhash_components": _minhash_oracle_sql(),
         "ann_lsh_topk": _lsh_oracle_sql(),
+        "ann_lsh_batch": _lsh_batch_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "ann_ivf_batch": _ivf_batch_oracle_sql(),
         "ann_brute_topk": """

@@ -80,6 +80,7 @@ def main() -> None:
         "ann_ivf_topk",
         "ann_ivf_batch",
         "ann_lsh_topk",
+        "ann_lsh_batch",
         "entity_cooccurrence",
         "lineitem_agg",
         "revenue_by_nation",

@@ -142,6 +142,82 @@ def lsh_topk(
     )
 
 
+def lsh_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: "Sequence[Sequence[float]] | None" = None,
+    n_planes: int = 6,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k for MANY queries in ONE plan (the
+    batch twin of lsh_topk, same shape as ivf_topk_batch):
+
+      bucket: every corpus row hashed once (JVM expression);
+      probe:  per query, its bucket's Hamming-≤radius neighborhood
+              exploded into (query_id, bucket) rows — a broadcastable
+              probe table of |Q|·Σ C(n_planes, r) rows;
+      cand:   corpus ⋈ broadcast(probes) on bucket — the corpus-sized
+              side never shuffles;
+      rank:   per-query row_number ≤ k over rounded cosine.
+
+    With literal ``planes`` the whole result is engine-reproducible
+    (the driver oracle replays it)."""
+    from pyspark.sql import Window
+
+    if planes is not None:
+        bucket_of = lambda c: sign_lsh_bucket_literal(c, planes)  # noqa: E731
+        n_bits = len(planes)
+    else:
+        bucket_of = lambda c: sign_lsh_bucket(c, n_planes)  # noqa: E731
+        n_bits = n_planes
+    bucketed = embeddings.withColumn("_bkt", bucket_of(F.col(vec_col)))
+    flips = [0] + [1 << i for i in range(n_bits)]
+    if probe_radius >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
+    probes = (
+        queries.withColumn(
+            "_qb", bucket_of(F.col(query_vec_col).cast("array<double>"))
+        )
+        .select(
+            query_id_col,
+            query_vec_col,
+            F.explode(
+                F.array(*[
+                    F.col("_qb").bitwiseXOR(F.lit(m).cast("long"))
+                    for m in flips
+                ])
+            ).alias("_bkt"),
+        )
+        .dropDuplicates([query_id_col, "_bkt"])
+    )
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        bucketed.join(F.broadcast(probes), "_bkt")
+        .select(
+            query_id_col,
+            F.col(id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 4
+            ).alias("cosine"),
+        )
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") <= k)
+        .select(query_id_col, id_col, "cosine",
+                F.col("_rk").cast("int").alias("rank"))
+    )
+
+
 def build_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,

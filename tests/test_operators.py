@@ -322,6 +322,36 @@ def test_ivf_topk_batch_matches_per_query(spark, vectors):
             assert got[(r["vec_id"], rank)] == (s["vec_id"], s["cosine"])
 
 
+def test_lsh_topk_batch_matches_per_query(spark, vectors):
+    """The one-plan batch LSH join must return exactly what the
+    per-query operator returns — same buckets, probes, and ranking."""
+    from json_ld_spark.operators.similarity import (
+        lsh_topk_batch,
+        plane_matrix,
+    )
+
+    planes = plane_matrix(6, 16)
+    qrows = vectors.filter(F.col("vec_id") % 25 == 0).collect()
+    queries = spark.createDataFrame(
+        [(r["vec_id"], list(r["embedding"])) for r in qrows],
+        "query_id int, query_vec array<float>",
+    )
+    batch = lsh_topk_batch(
+        vectors, queries, k=5, planes=planes, probe_radius=1
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in batch.collect()
+    }
+    for r in qrows:
+        single = lsh_topk(
+            vectors, list(r["embedding"]), k=5, planes=planes,
+            probe_radius=1,
+        ).collect()
+        for rank, s in enumerate(single, start=1):
+            assert got[(r["vec_id"], rank)] == (s["vec_id"], s["cosine"])
+
+
 def test_ivf_codebook_string_ids_fall_back_to_hash(spark, vectors):
     """Non-numeric id columns route through xxhash64 instead of a
     silent NULL-producing cast (advice r2)."""
