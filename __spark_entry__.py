@@ -169,6 +169,39 @@ def q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+
+
+def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity importance over the emitted KG: PageRank on the
+    mention co-occurrence graph with the fixed-iteration replayable
+    recipe (operators/graph.py) — init, every power iteration, and
+    the 6-dp rounding are replayed CTE-for-CTE by the DuckDB oracle,
+    so the whole iterative computation is hash-gated (same policy as
+    the trained IVF codebook)."""
+    from json_ld_spark.operators.graph import pagerank
+
+    t = _triples(spark, sf_dir)
+    m = t.filter(F.col("pred") == VOCAB + "of").select(
+        "conv_id", "turn_idx", F.col("obj_value").alias("entity")
+    ).localCheckpoint()
+    a, b = m.alias("a"), m.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.turn_idx") == F.col("b.turn_idx"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .select(
+            F.col("a.entity").alias("src"), F.col("b.entity").alias("dst")
+        )
+        .dropDuplicates()
+    )
+    return pagerank(edges, n_iters=_PR_ITERS, damping=_PR_DAMPING)
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.operators.textstats import document_stats
 
@@ -243,6 +276,40 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select("vec_id", "embedding", "label").unionByName(planted)
     return embedding_neardup_pairs(corpus, threshold=0.5)
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-FREE embedding near-dup: blocking by sign-LSH bucket
+    instead of a given label column — the realistic path at 100 TB
+    (no labels exist). Same planted positives as embedding_neardup;
+    the literal plane matrix makes bucketing — and therefore the whole
+    candidate set — reproducible by the SQL oracle. A planted pair
+    whose members straddle a bucket boundary is correctly ABSENT in
+    both engines (blocked near-dup trades recall for the per-bucket
+    join; the gate checks the trade is computed identically)."""
+    from json_ld_spark.operators.dedup import embedding_neardup_pairs
+    from json_ld_spark.operators.similarity import sign_lsh_bucket_literal
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter(
+        F.col("vec_id") % _NEARDUP_PLANT_STRIDE == 0
+    ).select(
+        (F.col("vec_id") + _NEARDUP_PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 0.9 + 0.05, 4).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    bucketed = corpus.withColumn(
+        "_lshb",
+        sign_lsh_bucket_literal(
+            F.col("embedding").cast("array<double>"), _lsh_planes()
+        ),
+    )
+    return embedding_neardup_pairs(
+        bucketed, block_col="_lshb", threshold=0.5
+    )
 
 
 def _query_vec_df(spark: SparkSession, sf_dir: str):
@@ -1147,9 +1214,54 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
     """
 
 
-def _lsh_oracle_sql() -> str:
-    """DuckDB twin of q_ann_lsh_topk: identical literal planes →
-    identical buckets → identical probe set and top-k."""
+def _pagerank_oracle_sql() -> str:
+    """DuckDB twin of q_entity_pagerank: rebuild the co-occurrence
+    edge set, symmetrize, then REPLAY every power iteration with the
+    same double arithmetic and 6-dp rounding."""
+    d = _PR_DAMPING
+    iters = []
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        iters.append(f""",
+        c{k} AS (
+          SELECT und.t AS node, sum(r.rank / deg.d) AS i
+          FROM und JOIN {prev} r ON und.s = r.node
+          JOIN deg ON und.s = deg.s
+          GROUP BY und.t
+        ),
+        r{k} AS (
+          SELECT n2.node,
+                 round((1.0 - CAST({d} AS DOUBLE)) / nn.n
+                       + CAST({d} AS DOUBLE) * coalesce(c{k}.i, 0.0), 6)
+                   AS rank
+          FROM nodes n2 CROSS JOIN nn
+          LEFT JOIN c{k} ON c{k}.node = n2.node
+        )""")
+        prev = f"r{k}"
+    return _MENTION_CTE + f""",
+        pairs AS (
+          SELECT DISTINCT a.iri AS s, b2.iri AS t
+          FROM m a JOIN m b2
+            ON a.conv_id = b2.conv_id AND a.turn_idx = b2.turn_idx
+           AND a.iri < b2.iri
+        ),
+        und AS (
+          SELECT s, t FROM pairs UNION SELECT t, s FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT s AS node FROM und),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY s),
+        r0 AS (
+          SELECT node, round(1.0 / nn.n, 6) AS rank
+          FROM nodes CROSS JOIN nn
+        ){"".join(iters)}
+        SELECT node, rank FROM {prev}
+        """
+
+
+def _lsh_bucket_sql() -> str:
+    """SQL expression reproducing sign_lsh_bucket_literal over a
+    double-list column ``v`` with the shared literal plane matrix."""
     planes = _lsh_planes()
     bucket_terms = []
     for p, weights in enumerate(planes):
@@ -1159,7 +1271,13 @@ def _lsh_oracle_sql() -> str:
             f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
             f"THEN CAST({bit} AS BIGINT) ELSE 0 END)"
         )
-    bucket = " + ".join(bucket_terms)
+    return " + ".join(bucket_terms)
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of q_ann_lsh_topk: identical literal planes →
+    identical buckets → identical probe set and top-k."""
+    bucket = _lsh_bucket_sql()
     flips = [0] + [1 << i for i in range(_LSH_PLANES)]
     flip_vals = ", ".join(f"({m})" for m in flips)
     return f"""
@@ -1183,16 +1301,7 @@ def _lsh_batch_oracle_sql() -> str:
     """DuckDB twin of q_ann_lsh_batch: identical literal planes →
     per-query probe neighborhoods → candidate join → per-query
     ranking."""
-    planes = _lsh_planes()
-    bucket_terms = []
-    for p, weights in enumerate(planes):
-        lit = "[" + ", ".join(f"{w:.1f}" for w in weights) + "]"
-        bit = 1 << (_LSH_PLANES - 1 - p)
-        bucket_terms.append(
-            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
-            f"THEN CAST({bit} AS BIGINT) ELSE 0 END)"
-        )
-    bucket = " + ".join(bucket_terms)
+    bucket = _lsh_bucket_sql()
     flips = [0] + [1 << i for i in range(_LSH_PLANES)]
     flip_vals = ", ".join(f"({m})" for m in flips)
     return f"""
@@ -1346,12 +1455,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_mentions": q_kg_triples_mentions,
         "kg_triple_counts": q_kg_triple_counts,
         "entity_cooccurrence": q_entity_cooccurrence,
+        "entity_pagerank": q_entity_pagerank,
         "doc_stats": q_doc_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "minhash_components": q_minhash_components,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_batch": q_ann_lsh_batch,
@@ -1576,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
          AND a.iri < b2.iri
         GROUP BY 1, 2
         """,
+        "entity_pagerank": _pagerank_oracle_sql(),
         "doc_stats": f"""
         SELECT doc_id,
                {lang_guess} AS lang_guess,
@@ -1635,6 +1747,33 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_dot_product(a.v, b.v) /
               (sqrt(list_dot_product(a.v, a.v)) *
                sqrt(list_dot_product(b.v, b.v))), 4) >= 0.5
+        """,
+        "embedding_neardup_lsh": f"""
+        WITH planted AS (
+          SELECT vec_id + {_NEARDUP_PLANT_OFFSET} AS vec_id,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 0.9 + 0.05, 4) AS FLOAT))
+                   AS embedding
+          FROM embeddings WHERE vec_id % {_NEARDUP_PLANT_STRIDE} = 0
+        ),
+        corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id, embedding FROM planted
+        ),
+        e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM corpus
+        ),
+        b AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bkt FROM e)
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+               round(list_dot_product(a.v, b2.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b2.v, b2.v))), 4) AS cosine
+        FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+        WHERE round(list_dot_product(a.v, b2.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b2.v, b2.v))), 4) >= 0.5
         """,
         "simhash_pairs": _simhash_oracle_sql(),
         "minhash_components": _minhash_oracle_sql(),

@@ -82,6 +82,8 @@ def main() -> None:
         "ann_lsh_topk",
         "ann_lsh_batch",
         "entity_cooccurrence",
+        "entity_pagerank",
+        "embedding_neardup_lsh",
         "lineitem_agg",
         "revenue_by_nation",
         "events_daily",

@@ -165,6 +165,27 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert any(os.scandir(ckpt)), "reliable checkpoint wrote nothing"
 
 
+def test_pagerank_star_and_mass(spark):
+    """Power-iteration invariants on a star + path graph: the hub
+    outranks every leaf, total mass stays ~1 (no dangling nodes after
+    symmetrization), and the fixed recipe is run-to-run identical."""
+    from json_ld_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)] + [(10, 11), (11, 12)],
+        "src int, dst int",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=5).collect()}
+    assert len(ranks) == 12
+    hub = ranks[0]
+    assert all(hub > ranks[i] for i in range(1, 9))
+    assert abs(sum(ranks.values()) - 1.0) < 1e-3
+    # middle of the path outranks its endpoints
+    assert ranks[11] > ranks[10] and ranks[11] > ranks[12]
+    again = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=5).collect()}
+    assert ranks == again
+
+
 def test_merge_map_relabel(spark):
     comps = spark.createDataFrame(
         [("b", "a"), ("a", "a"), ("z", "z")], "id string, component string"
