@@ -1052,6 +1052,26 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_TOKENS = 128
+_PACK_BUCKETS = 8
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under the gate: the chunked corpus assigned to
+    fixed-token training sequences by deterministic first-fit within
+    mod-partition buckets — the running-total window and pack
+    assignment are recomputed exactly by the SQL oracle."""
+    from json_ld_spark.operators.corpus import chunk_documents, pack_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+    return pack_chunks(
+        chunks, target_tokens=_PACK_TOKENS, n_buckets=_PACK_BUCKETS
+    )
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash sampling under the gate (md5 cross-engine family): the
     kept row set is a pure function of the key — reproducible across
@@ -1483,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
         "chunk_documents": q_chunk_documents,
+        "pack_chunks": q_pack_chunks,
         "deterministic_sample": q_deterministic_sample,
         "events_sessionize": q_events_sessionize,
         "lineitem_agg": q_lineitem_agg,
@@ -1969,6 +1990,18 @@ def oracle_sql() -> dict[str, str]:
                  toks, widx * {stride} + 1,
                  widx * {stride} + {_CHUNK_TOKENS})) AS INT) AS n_tokens
         FROM w
+        """
+    d["pack_chunks"] = f"""
+        WITH chunks AS ({d["chunk_documents"]})
+        SELECT CAST(doc_id % {_PACK_BUCKETS} AS INT) AS pack_bucket,
+               doc_id, chunk_idx, n_tokens,
+               CAST(floor(
+                 (sum(n_tokens) OVER (
+                    PARTITION BY doc_id % {_PACK_BUCKETS}
+                    ORDER BY doc_id, chunk_idx
+                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+                 / {_PACK_TOKENS}) AS INT) AS pack_id
+        FROM chunks
         """
     d["deterministic_sample"] = f"""
         SELECT doc_id FROM documents

@@ -92,6 +92,7 @@ def main() -> None:
         "dedup_keep",
         "dedup_keep_best",
         "chunk_documents",
+        "pack_chunks",
         "deterministic_sample",
         "kg_documents",
         "kg_node_docs",

@@ -81,6 +81,52 @@ def chunk_documents(
     )
 
 
+def pack_chunks(
+    chunks: DataFrame,
+    target_tokens: int = 256,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign chunks to fixed-token-budget training sequences
+    ("packing" — the step between chunking and the tokenizer).
+
+    Deterministic first-fit in (id, chunk_idx) order within each of
+    ``n_buckets`` independent pack buckets (bucket = id mod n — the
+    cross-engine partition, as in the IVF init): a running token total
+    per bucket, pack_id = floor(exclusive_prefix / target). A chunk
+    whose tokens straddle the budget spills into its pack (standard
+    greedy semantics — packs can slightly overflow, never underfill
+    out of order).
+
+    Buckets pack independently and in parallel — the window
+    partitions on the bucket, so at corpus scale no single ordering
+    bottleneck exists; more buckets = more parallelism and slightly
+    more padding waste at the tail of each bucket."""
+    from pyspark.sql import Window
+
+    bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int")
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(F.col(id_col), F.col(idx_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        chunks.withColumn("pack_bucket", bucket)
+        .withColumn("_cum", F.sum(tokens_col).over(w))
+        .select(
+            "pack_bucket",
+            id_col,
+            idx_col,
+            tokens_col,
+            F.floor((F.col("_cum") - F.col(tokens_col)) / target_tokens)
+            .cast("int")
+            .alias("pack_id"),
+        )
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     fraction: float,

@@ -444,6 +444,29 @@ def test_chunk_documents_windows(spark):
         chunk_documents(df, chunk_tokens=16, overlap=16)
 
 
+def test_pack_chunks_budget_and_order(spark):
+    """Packing invariants: packs fill in (id, chunk_idx) order, each
+    pack's exclusive prefix stays under budget (greedy spill allowed
+    for the straddling chunk), pack ids are contiguous from 0."""
+    from json_ld_spark.operators.corpus import pack_chunks
+
+    rows = [(i, 0, 60) for i in range(10)] + [(i, 1, 50) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, chunk_idx int, n_tokens int")
+    out = pack_chunks(df, target_tokens=100, n_buckets=2).collect()
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r["pack_bucket"], []).append(r)
+    assert set(by_bucket) == {0, 1}
+    for bucket_rows in by_bucket.values():
+        bucket_rows.sort(key=lambda r: (r["doc_id"], r["chunk_idx"]))
+        cum = 0
+        for r in bucket_rows:
+            assert r["pack_id"] == cum // 100  # exclusive-prefix rule
+            cum += r["n_tokens"]
+        packs = sorted({r["pack_id"] for r in bucket_rows})
+        assert packs == list(range(len(packs)))
+
+
 def test_deterministic_sample_stable_under_append(spark):
     """The kept set is a function of the key: identical across runs,
     and appending new rows never changes which old rows are kept."""
