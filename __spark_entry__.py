@@ -208,6 +208,19 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+_TFIDF_K = 5
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyword extraction under the gate: top-5 TF-IDF terms
+    per document; term counts, smoothed idf, scoring, and per-doc
+    ranking are all recomputed by the SQL oracle."""
+    from json_ld_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=_TFIDF_K)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.operators.dedup import exact_dedup_groups
 
@@ -1477,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_cooccurrence": q_entity_cooccurrence,
         "entity_pagerank": q_entity_pagerank,
         "doc_stats": q_doc_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
@@ -1721,6 +1735,31 @@ def oracle_sql() -> dict[str, str]:
                md5({norm}) AS fp_md5,
                list_min({shingles}) AS fp_shingle
         FROM documents
+        """,
+        "tfidf_top_terms": f"""
+        WITH t AS (
+          SELECT doc_id, {norm} AS tt FROM documents
+        ),
+        terms AS (
+          SELECT doc_id, unnest(string_split(tt, ' ')) AS term
+          FROM t WHERE length(tt) > 0
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        ),
+        nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * (ln(CAST(nn.n + 1 AS DOUBLE) / (dfx.df + 1))
+                                + 1.0), 6) AS score
+          FROM tf CROSS JOIN nn JOIN dfx ON tf.term = dfx.term
+        )
+        SELECT doc_id, term, tf, score, CAST(rk AS INT) AS rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+          FROM scored
+        ) WHERE rk <= {_TFIDF_K}
         """,
         "dedup_exact": f"""
         SELECT md5({norm}) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id

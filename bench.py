@@ -73,6 +73,7 @@ def main() -> None:
 
     bench_queries = [
         "doc_stats",
+        "tfidf_top_terms",
         "dedup_exact",
         "ngram_jaccard",
         "embedding_neardup",

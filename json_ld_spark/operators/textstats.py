@@ -125,6 +125,57 @@ def shingle_fingerprint(text_col, k: int = 8) -> Column:
     return F.array_min(F.transform(shingles, lambda s: F.md5(s)))
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, term, tf, score, rank): top-k TF-IDF terms per document —
+    keyword extraction over the whole corpus in three shuffles
+    (term counts, document frequencies, per-doc ranking).
+
+    score = tf · (ln((N+1)/(df+1)) + 1), rounded to 6 dp (smoothed
+    idf; the rounding is the usual cross-engine determinism absorber —
+    ln differs by ≤1 ulp between libms). Ties rank by term ascending.
+    The doc-frequency table is entity-vocabulary-sized → broadcast
+    into the scoring join; the corpus-sized term table never shuffles
+    for it."""
+    from pyspark.sql import Window
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    )
+    terms = (
+        docs.select(F.col(id_col).alias("id"), norm.alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select("id", F.explode(F.split(F.col("_t"), " ")).alias("term"))
+    )
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(id_col).distinct().count()  # scalar parameter
+    df_ = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1))
+               + F.lit(1.0)),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("id").alias(id_col), "term", "tf", "score",
+            F.col("_rk").cast("int").alias("rank"),
+        )
+    )
+
+
 def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All text-analysis columns over a documents table."""
     t = F.col(text_col)

@@ -484,6 +484,26 @@ def test_deterministic_sample_stable_under_append(spark):
     assert {k for k in kept_grown if k < 1000} == kept1
 
 
+def test_tfidf_top_terms(spark):
+    """A corpus-wide common term scores below a document-unique term
+    despite equal tf; ranks are contiguous and respect k."""
+    from json_ld_spark.operators.textstats import tfidf_top_terms
+
+    rows = [
+        (1, "common zebra"),
+        (2, "common apple"),
+        (3, "common banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {(r["doc_id"], r["term"]): r for r in tfidf_top_terms(df, k=3).collect()}
+    # equal tf: 'zebra' (df=1) must outrank 'common' (df=3) in doc 1
+    assert out[(1, "zebra")]["rank"] < out[(1, "common")]["rank"]
+    assert out[(1, "common")]["tf"] == 1
+    for doc in (1, 2, 3):
+        ranks = sorted(r["rank"] for (d, _), r in out.items() if d == doc)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
 def test_textstats_values(spark):
     from json_ld_spark.operators.textstats import document_stats
 
