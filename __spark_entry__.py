@@ -819,25 +819,32 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fresh_stream_dir(prefix: str) -> str:
-    """mkdtemp for a streaming replay, sweeping stale siblings from
-    earlier runs first — each replay stages a parquet copy of the
-    corpus, and without the sweep repeated gate/bench runs would
-    accumulate multi-MB directories in /tmp indefinitely."""
+    """mkdtemp for a streaming replay under a per-PROCESS parent dir —
+    each replay stages a parquet copy of the corpus, and without a
+    sweep repeated gate/bench runs would accumulate multi-MB
+    directories in /tmp indefinitely. The sweep only removes sibling
+    pid-dirs whose owning process is GONE (liveness-checked, never
+    age-based): a concurrent replay still running after an hour keeps
+    its staged input and checkpoint dirs — no other process can
+    reclaim them out from under a live query."""
     import shutil
     import tempfile
-    import time as _time
 
-    tmp_root = tempfile.gettempdir()
-    cutoff = _time.time() - 3600
-    for name in os.listdir(tmp_root):
-        if name.startswith(prefix):
-            full = os.path.join(tmp_root, name)
-            try:
-                if os.path.getmtime(full) < cutoff:
-                    shutil.rmtree(full, ignore_errors=True)
-            except OSError:
-                pass
-    return tempfile.mkdtemp(prefix=prefix)
+    root = os.path.join(tempfile.gettempdir(), "json_ld_spark_streams")
+    own = os.path.join(root, f"pid{os.getpid()}")
+    os.makedirs(own, exist_ok=True)
+    try:
+        siblings = os.listdir(root)
+    except OSError:
+        siblings = []
+    for name in siblings:
+        if not name.startswith("pid") or name == f"pid{os.getpid()}":
+            continue
+        pid_part = name[3:]
+        alive = pid_part.isdigit() and os.path.exists(f"/proc/{pid_part}")
+        if not alive:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=own)
 
 
 def _stage_ordered_batches(base: str, parts) -> str:
@@ -912,8 +919,12 @@ def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     _derived(spark, sf_dir).repartition(4).write.parquet(in_dir)
+    # one file per trigger: the 4 staged files become 4 real
+    # micro-batches, so the gate genuinely exercises micro-batch-
+    # boundary independence (all-in-one-batch would prove nothing)
     q = stream_triples(spark, in_dir, out_dir, ckpt,
-                       query_name="kg_stream_gate")
+                       query_name="kg_stream_gate",
+                       max_files_per_trigger=1)
     try:
         q.processAllAvailable()
     finally:

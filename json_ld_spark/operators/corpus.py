@@ -35,8 +35,12 @@ def chunk_documents(
     of ``chunk_tokens`` tokens advancing by ``chunk_tokens - overlap``.
 
     The last window may be short; a document shorter than one window
-    yields exactly one chunk; empty/blank documents yield one empty
-    chunk (callers filter if unwanted — silent row loss is worse).
+    yields exactly one chunk; empty/blank/NULL documents yield one
+    empty chunk (callers filter if unwanted — silent row loss is
+    worse). NULL text is coalesced to '' BEFORE the split: without
+    that, size(NULL) = -1 in non-ANSI Spark would emit a phantom
+    (NULL, -1) chunk while a SQL engine's generate_series over NULL
+    emits no row — a silent engine divergence.
     Window starts are a ``sequence`` over the staged token array, so
     the token split runs once per document (HOFs have no CSE — the
     array must be staged, see pyspark pitfalls in canonicalize.py).
@@ -44,7 +48,9 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    trimmed = F.trim(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    trimmed = F.trim(
+        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), "\\s+", " ")
+    )
     staged = docs.select(
         F.col(id_col).alias("id"),
         F.when(F.length(trimmed) == 0, F.array().cast("array<string>"))
@@ -103,10 +109,19 @@ def pack_chunks(
     Buckets pack independently and in parallel — the window
     partitions on the bucket, so at corpus scale no single ordering
     bottleneck exists; more buckets = more parallelism and slightly
-    more padding waste at the tail of each bucket."""
-    from pyspark.sql import Window
+    more padding waste at the tail of each bucket.
 
-    bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int")
+    Non-numeric ids bucket via xxhash64 (same guard as
+    build_ivf_centroids): pmod over a silent string→number NULL cast
+    in non-ANSI mode would otherwise collapse every row into one NULL
+    bucket — one straggler task doing all the packing."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
+
+    if isinstance(chunks.schema[id_col].dataType, NumericType):
+        bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int")
+    else:
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
     w = (
         Window.partitionBy("pack_bucket")
         .orderBy(F.col(id_col), F.col(idx_col))

@@ -113,11 +113,24 @@ def fingerprint_md5(text_col) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text_col), "\\s+", " ")))
 
 
-def shingle_fingerprint(text_col, k: int = 8) -> Column:
+def shingle_fingerprint(text_col, k: int = 8, *,
+                        pre_normalized: bool = False) -> Column:
     """Winnowing-style fingerprint: minimum md5 over all k-char
     shingles of the normalized text (rolling-hash document signature;
-    identical lexicographic-min semantics in SQL)."""
-    norm = F.trim(F.regexp_replace(F.lower(text_col), "\\s+", " "))
+    identical lexicographic-min semantics in SQL).
+
+    ``pre_normalized=True`` takes ``text_col`` as already
+    lower/whitespace-normalized. Callers SHOULD stage the normalized
+    text as a named column in its own projection and pass it here:
+    the normalization is captured inside the ``transform`` lambda
+    below, and interpreted HOFs re-evaluate captured expressions once
+    per array ELEMENT — per-shingle trim∘regexp_replace∘lower costs
+    2.5×+ on real text (the pitfall measured in dedup.py's ``_lt``
+    staging)."""
+    if pre_normalized:
+        norm = text_col
+    else:
+        norm = F.trim(F.regexp_replace(F.lower(text_col), "\\s+", " "))
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
         lambda i: F.substring(norm, 1, 2147483647).substr(i, F.lit(k)),
@@ -138,9 +151,15 @@ def tfidf_top_terms(
     score = tf · (ln((N+1)/(df+1)) + 1), rounded to 6 dp (smoothed
     idf; the rounding is the usual cross-engine determinism absorber —
     ln differs by ≤1 ulp between libms). Ties rank by term ascending.
-    The doc-frequency table is entity-vocabulary-sized → broadcast
-    into the scoring join; the corpus-sized term table never shuffles
-    for it."""
+
+    The doc-frequency side grows with DISTINCT corpus terms — at
+    web scale that is billions of rows (URLs, typos, hapaxes), so it
+    must NOT carry a forced broadcast hint (a forced ``F.broadcast``
+    of an unbounded side OOMs the driver). Both join inputs are
+    already hash-partitioned on ``term`` by their groupBys, so the
+    scoring join is a co-partitioned shuffle join with no extra
+    exchange; when the dictionary happens to be small, AQE converts
+    it to a broadcast join at runtime on real size, not on a hint."""
     from pyspark.sql import Window
 
     norm = F.trim(
@@ -154,7 +173,7 @@ def tfidf_top_terms(
     tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
     n_docs = docs.select(id_col).distinct().count()  # scalar parameter
     df_ = tf.groupBy("term").agg(F.count("*").alias("_df"))
-    scored = tf.join(F.broadcast(df_), "term").select(
+    scored = tf.join(df_, "term").select(
         "id",
         "term",
         "tf",
@@ -177,9 +196,18 @@ def tfidf_top_terms(
 
 
 def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """All text-analysis columns over a documents table."""
+    """All text-analysis columns over a documents table.
+
+    The lower/whitespace normalization feeding both fingerprints is
+    staged as ``_norm`` in its own projection (used twice in the outer
+    select, so CollapseProject keeps it staged) — without this, the
+    shingle HOF re-runs the normalization once per shingle."""
     t = F.col(text_col)
-    return docs.select(
+    norm = F.trim(F.regexp_replace(F.lower(t), "\\s+", " "))
+    staged = docs.select("doc_id", t.alias("_text"), norm.alias("_norm"))
+    t = F.col("_text")
+    n = F.col("_norm")
+    return staged.select(
         "doc_id",
         language_guess(t).alias("lang_guess"),
         token_count_ws(t).alias("n_tokens_ws"),
@@ -187,6 +215,6 @@ def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
         F.round(quality_score(t), 6).alias("quality"),
-        fingerprint_md5(t).alias("fp_md5"),
-        shingle_fingerprint(t).alias("fp_shingle"),
+        F.md5(n).alias("fp_md5"),
+        shingle_fingerprint(n, pre_normalized=True).alias("fp_shingle"),
     )

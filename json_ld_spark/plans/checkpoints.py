@@ -44,10 +44,23 @@ def cut_lineage(
     checksum) should pass eager=False so the probe action materializes
     the checkpoint — one blocking job per round instead of two; with
     per-round latency dominated by job launch, that halves the fixed
-    cost of every iteration.
+    cost of every iteration. The deferral only applies to the LOCAL
+    path: a reliable ``checkpoint()`` runs one job for the action and
+    a SECOND pass over the plan to write the checkpoint files, so on
+    the reliable path we persist first (MEMORY_AND_DISK) so the
+    checkpoint write reads the cached partitions instead of
+    recomputing the full upstream plan, checkpoint eagerly, then
+    unpersist — the round's frame is durable on the reliable store
+    and the cache slot is returned before the next round.
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
+    from pyspark.storagelevel import StorageLevel
+
     sc = df.sparkSession.sparkContext
     sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=eager)
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return df.checkpoint(eager=True)
+    finally:
+        df.unpersist()

@@ -37,6 +37,7 @@ def stream_triples(
     output_path: str,
     checkpoint_path: str,
     query_name: str = "kg_stream",
+    max_files_per_trigger: int = 4,
 ):
     """Streaming triple emission. nextTurn links need the batch to
     contain the conversation prefix, so the streaming path emits
@@ -44,7 +45,8 @@ def stream_triples(
     responsibility, exactly like the reference's streaming writer
     defers reordering (streaming_writer.rb:14-125).
     """
-    stream = read_transcript_stream(spark, input_path)
+    stream = read_transcript_stream(spark, input_path,
+                                    max_files_per_trigger)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         triples = emit_triples(batch_df, ordered=False)

@@ -522,3 +522,73 @@ def test_textstats_values(spark):
     assert stats[1]["n_tokens_ws"] == 8
     assert stats[4]["n_tokens_ws"] == 0
     assert stats[1]["fp_md5"] is not None and stats[1]["fp_shingle"] is not None
+
+
+def test_chunk_documents_null_text_is_one_empty_chunk(spark):
+    """NULL text must behave exactly like the documented empty-document
+    case (one empty chunk) — not the non-ANSI (NULL, -1) phantom row
+    that size(NULL) = -1 would otherwise produce, which no SQL engine
+    reproduces."""
+    from json_ld_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b")], "doc_id int, text string"
+    )
+    rows = {(r["doc_id"], r["chunk_idx"]): r
+            for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()}
+    assert rows[(1, 0)]["n_tokens"] == 0
+    assert rows[(1, 0)]["chunk_text"] == ""
+    assert rows[(2, 0)]["n_tokens"] == 2
+
+
+def test_pack_chunks_string_ids_fall_back_to_hash(spark):
+    """A non-numeric id column must bucket via xxhash64, not collapse
+    into one NULL bucket through a silent string→number cast."""
+    from json_ld_spark.operators.corpus import pack_chunks
+
+    rows = [(f"doc-{i}", j, 60) for i in range(40) for j in (0, 1)]
+    df = spark.createDataFrame(rows, "doc_id string, chunk_idx int, n_tokens int")
+    out = pack_chunks(df, target_tokens=100, n_buckets=8).collect()
+    buckets = {r["pack_bucket"] for r in out}
+    assert None not in buckets
+    assert len(buckets) > 1  # spread, not collapsed
+    # packing invariants still hold per bucket
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r["pack_bucket"], []).append(r)
+    for bucket_rows in by_bucket.values():
+        bucket_rows.sort(key=lambda r: (r["doc_id"], r["chunk_idx"]))
+        cum = 0
+        for r in bucket_rows:
+            assert r["pack_id"] == cum // 100
+            cum += r["n_tokens"]
+
+
+def test_document_stats_staged_norm_equivalence(spark):
+    """The staged-``_norm`` fast path must be value-identical to
+    computing the fingerprints directly from the raw text (the HOF
+    staging is a plan change, never a semantics change)."""
+    from json_ld_spark.operators.textstats import (
+        fingerprint_md5,
+        document_stats,
+        shingle_fingerprint,
+    )
+
+    rows = [
+        (1, "  The   CAT and\tthe dog  "),
+        (2, "short"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in document_stats(df).collect()}
+    want = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            fingerprint_md5(F.col("text")).alias("fp_md5"),
+            shingle_fingerprint(F.col("text")).alias("fp_shingle"),
+        ).collect()
+    }
+    for d in (1, 2, 3):
+        assert got[d]["fp_md5"] == want[d]["fp_md5"]
+        assert got[d]["fp_shingle"] == want[d]["fp_shingle"]

@@ -159,3 +159,35 @@ def test_minhash_pairs_emit_only_ids(spark):
     )
     pairs = minhash_candidate_pairs(df, "doc_id", "text")
     assert set(pairs.columns) == {"id_a", "id_b"}
+
+
+def test_tfidf_dictionary_join_not_forced_broadcast(spark):
+    """The TF-IDF scoring join must NOT carry a forced broadcast hint:
+    the doc-frequency side is one row per DISTINCT corpus term —
+    unbounded at web scale — so with both broadcast thresholds
+    disabled the join must degrade to a shuffle join. A forced
+    ``F.broadcast`` ignores thresholds, so this test fails if the
+    hint ever comes back."""
+    from json_ld_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    keys = ["spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold"]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        plan = explain_str(tfidf_top_terms(docs, k=3))
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
