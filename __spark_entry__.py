@@ -1022,6 +1022,78 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _turn_rate_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-shaped rows with an event-time spread wide enough
+    for watermark eviction (the derived corpus packs all turns into a
+    single 5-minute window): same arithmetic-only derivation, but
+    conversations advance wall-clock — ts = 2024-01-01 +
+    (doc_id mod 5) minutes + (doc_id div 5) · 7 minutes. NTZ out so
+    the staged parquet round-trips engine-neutrally."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id"),
+        F.format_string(
+            "conv%08d", (F.col("doc_id") / 5).cast("long")
+        ).alias("conv_id"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("role"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(
+                F.lit(0),
+                F.lit(0),
+                F.pmod(F.col("doc_id"), F.lit(5))
+                + F.floor(F.col("doc_id") / 5) * 7,
+                F.lit(0),
+            )
+        ).cast("timestamp_ntz").alias("ts"),
+    )
+
+
+def q_stream_turn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked turn-rate monitoring aggregate under the gate —
+    the same 3-batch replay shape as stream_windowed_counts (early
+    corpus / watermark-advancing batch / planted late copies ~3h
+    below the watermark that must be DROPPED), over the transcript
+    stream instead of events. Emitted (5-min window, role) turn
+    counts must hold exactly the original rows. ``n_convs`` (HLL++)
+    is selected out: approx_count_distinct is deterministic within
+    Spark but engine-specific, so it cannot be value-hashed against
+    a SQL oracle — the exact count column is the gated surface."""
+    import datetime
+
+    from json_ld_spark.streaming.stream_pipeline import stream_turn_rate
+
+    tx = _turn_rate_input(spark, sf_dir)
+    tmax = tx.agg(F.max("ts")).collect()[0][0]  # 1-row parameter fetch
+    t1 = tmax - datetime.timedelta(minutes=60)
+    t2 = tmax - datetime.timedelta(minutes=30)
+    t_old = tmax - datetime.timedelta(minutes=180)
+    f0 = tx.filter(F.col("ts") < F.lit(t1))
+    f1 = tx.filter((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2)))
+    planted = f0.filter(
+        (F.col("ts") < F.lit(t_old)) & (F.col("doc_id") % 20 == 0)
+    )
+    f2 = tx.filter(F.col("ts") >= F.lit(t2)).unionByName(planted)
+
+    base = _fresh_stream_dir("kgrate_")
+    in_dir = _stage_ordered_batches(base, (f0, f1, f2))
+    schema = "doc_id long, conv_id string, role string, ts timestamp_ntz"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out_dir = _run_available_now(
+        stream_turn_rate(stream, "5 minutes", "10 minutes"), base
+    )
+    return spark.read.parquet(out_dir).select(
+        "window_start", "window_end", "role", "n_turns"
+    )
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.operators.dedup import exact_dedup
 
@@ -1525,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_triples": q_stream_triples,
         "stream_turn_chain": q_stream_turn_chain,
         "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_turn_rate": q_stream_turn_rate,
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
         "chunk_documents": q_chunk_documents,
@@ -2089,6 +2162,38 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 2) AS total_value
         FROM events, wm
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+        GROUP BY 1, 2, 3
+        """
+    # turn-rate oracle: same watermark algebra over the wide-ts
+    # transcript replay — emitted (5-min window, role) turn counts are
+    # those whose window the final watermark (max ts − 10 min) closed,
+    # holding exactly the ORIGINAL rows (the planted late copies were
+    # dropped ~3 h below the batch-1 watermark). Window starts come
+    # from explicit epoch arithmetic so both engines share the
+    # 1970-aligned 5-minute grid.
+    d["stream_turn_rate"] = """
+        WITH tx AS (
+          SELECT (['user','assistant','tool'])[CAST(doc_id % 3 AS INT) + 1]
+                   AS role,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + (doc_id % 5) * INTERVAL 1 MINUTE
+                   + (doc_id // 5) * INTERVAL 7 MINUTE AS ts
+          FROM documents
+        ),
+        wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM tx),
+        bucketed AS (
+          SELECT TIMESTAMP '1970-01-01 00:00:00'
+                   + CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+                     * INTERVAL 1 SECOND AS window_start,
+                 role
+          FROM tx
+        )
+        SELECT window_start,
+               window_start + INTERVAL 5 MINUTE AS window_end,
+               role,
+               count(*) AS n_turns
+        FROM bucketed, wm
+        WHERE window_start + INTERVAL 5 MINUTE <= w
         GROUP BY 1, 2, 3
         """
     # decoded-bytes oracle: the Spark side DECODES real PPM/WAV/ppm-seq

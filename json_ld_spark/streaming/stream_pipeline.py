@@ -70,13 +70,29 @@ def stream_turn_rate(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Event-time windowed turn counts with late-data watermark —
-    the monitoring aggregate for a live ingestion pipeline."""
+    the monitoring aggregate for a live ingestion pipeline.
+
+    Output: (window_start, window_end, role, n_turns, n_convs) with
+    NTZ window bounds (engine-neutral, same shape as
+    ``stream_event_counts``). ``n_turns`` is exact and gated against
+    the batch answer by the ``stream_turn_rate`` driver query;
+    ``n_convs`` is HLL++ (approx_count_distinct — exact distinct is
+    unsupported in streaming aggs), deterministic within Spark but
+    engine-specific, so the gate selects it out."""
     return (
-        transcripts_stream.withWatermark("ts", watermark)
+        transcripts_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration), "role")
         .agg(
             F.count("*").alias("n_turns"),
             F.approx_count_distinct("conv_id").alias("n_convs"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "role",
+            "n_turns",
+            "n_convs",
         )
     )
 
