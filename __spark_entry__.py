@@ -1865,18 +1865,27 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": f"""
         WITH g AS (
           SELECT doc_id AS _id, {grams} AS _grams,
-                 list_min(list_transform({grams}, s -> md5(s))) AS _blk
+                 list_sort(list_transform({grams}, s -> md5(s)))[1:4]
+                   AS _bands
           FROM (SELECT doc_id, string_split({norm}, ' ') AS words, text
                 FROM documents)
+        ),
+        bands AS (SELECT _id, unnest(_bands) AS _blk FROM g),
+        cand AS (
+          SELECT DISTINCT a._id AS id_a, b._id AS id_b
+          FROM bands a JOIN bands b ON a._blk = b._blk AND a._id < b._id
         )
-        SELECT a._id AS id_a, b._id AS id_b,
-               round(len(list_intersect(a._grams, b._grams)) * 1.0 /
-                     (len(a._grams) + len(b._grams)
-                      - len(list_intersect(a._grams, b._grams))), 4) AS jaccard
-        FROM g a JOIN g b ON a._blk = b._blk AND a._id < b._id
-        WHERE len(list_intersect(a._grams, b._grams)) * 1.0 /
-              (len(a._grams) + len(b._grams)
-               - len(list_intersect(a._grams, b._grams))) >= 0.05
+        SELECT id_a, id_b,
+               round(len(list_intersect(ga._grams, gb._grams)) * 1.0 /
+                     (len(ga._grams) + len(gb._grams)
+                      - len(list_intersect(ga._grams, gb._grams))), 4)
+                 AS jaccard
+        FROM cand
+        JOIN g ga ON ga._id = id_a
+        JOIN g gb ON gb._id = id_b
+        WHERE len(list_intersect(ga._grams, gb._grams)) * 1.0 /
+              (len(ga._grams) + len(gb._grams)
+               - len(list_intersect(ga._grams, gb._grams))) >= 0.05
         """,
         "embedding_neardup": f"""
         WITH planted AS (
