@@ -182,12 +182,21 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trained IVF codebook)."""
     from json_ld_spark.operators.graph import pagerank
 
+    return pagerank(
+        _cooccurrence_edges(spark, sf_dir),
+        n_iters=_PR_ITERS, damping=_PR_DAMPING,
+    )
+
+
+def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention edge set, one direction per pair (src < dst
+    lexicographically)."""
     t = _triples(spark, sf_dir)
     m = t.filter(F.col("pred") == VOCAB + "of").select(
         "conv_id", "turn_idx", F.col("obj_value").alias("entity")
     ).localCheckpoint()
     a, b = m.alias("a"), m.alias("b")
-    edges = (
+    return (
         a.join(
             b,
             (F.col("a.conv_id") == F.col("b.conv_id"))
@@ -199,7 +208,23 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates()
     )
-    return pagerank(edges, n_iters=_PR_ITERS, damping=_PR_DAMPING)
+
+
+def q_entity_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed PageRank with dangling-mass redistribution under the
+    gate: the same edge pairs kept DIRECTED (src < dst), so
+    lexicographically-largest entities have no out-edges and leak
+    rank unless each round redistributes the dangling sum — the
+    oracle replays init, every contribution join, every per-round
+    dangling aggregate (6-dp rounded in both engines), and the
+    d·dang/N correction, so a missing or misplaced dangling term
+    fails the hash. This is the mode a real (directed) KG uses."""
+    from json_ld_spark.operators.graph import pagerank
+
+    return pagerank(
+        _cooccurrence_edges(spark, sf_dir),
+        n_iters=_PR_ITERS, damping=_PR_DAMPING, symmetrize=False,
+    )
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1343,41 +1368,69 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
     """
 
 
-def _pagerank_oracle_sql() -> str:
-    """DuckDB twin of q_entity_pagerank: rebuild the co-occurrence
-    edge set, symmetrize, then REPLAY every power iteration with the
-    same double arithmetic and 6-dp rounding."""
+def _pagerank_oracle_sql(directed: bool = False) -> str:
+    """DuckDB twin of q_entity_pagerank / q_entity_pagerank_directed:
+    rebuild the co-occurrence edge set (symmetrized or directed), then
+    REPLAY every power iteration with the same double arithmetic and
+    6-dp rounding — in directed mode including the per-round dangling
+    sum (rounded to 6 dp, like the Spark side) redistributed as
+    d·dang/N."""
     d = _PR_DAMPING
     iters = []
     prev = "r0"
     for k in range(1, _PR_ITERS + 1):
+        if directed:
+            dang = f""",
+        d{k} AS (
+          SELECT round(coalesce(sum(r.rank), 0.0), 6) AS dang
+          FROM {prev} r LEFT JOIN deg ON r.node = deg.s
+          WHERE deg.s IS NULL
+        )"""
+            rank_expr = (
+                f"round((1.0 - CAST({d} AS DOUBLE)) / nn.n"
+                f" + CAST({d} AS DOUBLE) * (coalesce(c{k}.i, 0.0)"
+                f" + d{k}.dang / nn.n), 6)"
+            )
+            extra_from = f" CROSS JOIN d{k}"
+        else:
+            dang = ""
+            rank_expr = (
+                f"round((1.0 - CAST({d} AS DOUBLE)) / nn.n"
+                f" + CAST({d} AS DOUBLE) * coalesce(c{k}.i, 0.0), 6)"
+            )
+            extra_from = ""
         iters.append(f""",
         c{k} AS (
           SELECT und.t AS node, sum(r.rank / deg.d) AS i
           FROM und JOIN {prev} r ON und.s = r.node
           JOIN deg ON und.s = deg.s
           GROUP BY und.t
-        ),
+        ){dang},
         r{k} AS (
-          SELECT n2.node,
-                 round((1.0 - CAST({d} AS DOUBLE)) / nn.n
-                       + CAST({d} AS DOUBLE) * coalesce(c{k}.i, 0.0), 6)
-                   AS rank
-          FROM nodes n2 CROSS JOIN nn
+          SELECT n2.node, {rank_expr} AS rank
+          FROM nodes n2 CROSS JOIN nn{extra_from}
           LEFT JOIN c{k} ON c{k}.node = n2.node
         )""")
         prev = f"r{k}"
+    if directed:
+        edge_cte = """
+        und AS (SELECT s, t FROM pairs),
+        nodes AS (
+          SELECT s AS node FROM und UNION SELECT t AS node FROM und
+        ),"""
+    else:
+        edge_cte = """
+        und AS (
+          SELECT s, t FROM pairs UNION SELECT t, s FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT s AS node FROM und),"""
     return _MENTION_CTE + f""",
         pairs AS (
           SELECT DISTINCT a.iri AS s, b2.iri AS t
           FROM m a JOIN m b2
             ON a.conv_id = b2.conv_id AND a.turn_idx = b2.turn_idx
            AND a.iri < b2.iri
-        ),
-        und AS (
-          SELECT s, t FROM pairs UNION SELECT t, s FROM pairs
-        ),
-        nodes AS (SELECT DISTINCT s AS node FROM und),
+        ),{edge_cte}
         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
         deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY s),
         r0 AS (
@@ -1585,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_counts": q_kg_triple_counts,
         "entity_cooccurrence": q_entity_cooccurrence,
         "entity_pagerank": q_entity_pagerank,
+        "entity_pagerank_directed": q_entity_pagerank_directed,
         "doc_stats": q_doc_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_exact": q_dedup_exact,
@@ -1820,6 +1874,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
         """,
         "entity_pagerank": _pagerank_oracle_sql(),
+        "entity_pagerank_directed": _pagerank_oracle_sql(directed=True),
         "doc_stats": f"""
         SELECT doc_id,
                {lang_guess} AS lang_guess,

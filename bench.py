@@ -119,6 +119,7 @@ def main() -> None:
         "ann_lsh_batch",
         "entity_cooccurrence",
         "entity_pagerank",
+        "entity_pagerank_directed",
         "embedding_neardup_lsh",
         "lineitem_agg",
         "revenue_by_nation",

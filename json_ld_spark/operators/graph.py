@@ -12,7 +12,9 @@ Scale design:
     rank table is |V| rows, edges |E|; both partition on node id.
   - undirected input is symmetrized (both directions), so there are
     no dangling nodes and the mass-conservation term is just the
-    teleport factor.
+    teleport factor; directed mode (``symmetrize=False``) keeps the
+    KG's edge direction and redistributes dangling mass via a 1-row
+    broadcast aggregate per round — no extra |V|-sized shuffle.
   - O(n_iters) rounds with per-round lineage cuts (cut_lineage), the
     same iterative-operator discipline as connected components.
 """
@@ -33,31 +35,50 @@ def pagerank(
     damping: float = 0.85,
     round_dp: int = 6,
     checkpoint_dir: "str | None" = None,
+    symmetrize: bool = True,
 ) -> DataFrame:
-    """(node, rank) after ``n_iters`` power iterations over the
-    SYMMETRIZED edge set (input treated as undirected).
+    """(node, rank) after ``n_iters`` power iterations.
+
+    ``symmetrize=True`` (default) treats the input as undirected
+    (both directions added) — right for co-occurrence graphs, and
+    there are no dangling nodes by construction. ``symmetrize=False``
+    keeps edge direction — right for a KG's directed relations — and
+    redistributes DANGLING mass: a node with no out-edges leaks its
+    rank, so each iteration adds d·(Σ ranks of dangling nodes)/N to
+    every node (the standard correction; without it total mass decays
+    and ranks of sink-heavy graphs collapse toward the teleport
+    term). The dangling sum is a 1-row broadcast aggregate per round,
+    rounded to ``round_dp`` so both engines agree.
 
     rank_0 = round(1/N, dp); rank_{k+1}(v) = round((1−d)/N +
-    d · Σ_{u→v} rank_k(u)/deg(u), dp). Rounding per iteration is what
-    makes the result engine-reproducible (absorbs summation-order
-    noise); with no dangling nodes the recipe conserves mass up to
-    rounding."""
-    und = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
-        .filter(F.col("s") != F.col("t"))
-        .dropDuplicates()
-    )
-    und = cut_lineage(und, checkpoint_dir)
-    nodes = und.select(F.col("s").alias("node")).distinct()
+    d · (Σ_{u→v} rank_k(u)/outdeg(u) [+ dang_k/N]), dp). Rounding per
+    iteration is what makes the result engine-reproducible (absorbs
+    summation-order noise); the recipe conserves mass up to rounding
+    in both modes."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    if symmetrize:
+        e = e.union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+    e = e.filter(F.col("s") != F.col("t")).dropDuplicates()
+    e = cut_lineage(e, checkpoint_dir)
+    if symmetrize:
+        nodes = e.select(F.col("s").alias("node")).distinct()
+    else:
+        nodes = (
+            e.select(F.col("s").alias("node"))
+            .union(e.select(F.col("t").alias("node")))
+            .distinct()
+        )
     n = nodes.count()  # scalar parameter of the recipe (N)
-    deg = und.groupBy("s").agg(F.count("*").alias("_deg"))
+    deg = e.groupBy("s").agg(F.count("*").alias("_deg"))
+    dangling = nodes.join(
+        deg.select(F.col("s").alias("node")), "node", "left_anti"
+    )
     ranks = nodes.select(
         "node", F.round(F.lit(1.0 / n), round_dp).alias("rank")
     )
     for _ in range(n_iters):
         contrib = (
-            und.join(ranks.withColumnRenamed("node", "s"), "s")
+            e.join(ranks.withColumnRenamed("node", "s"), "s")
             .join(deg, "s")
             .select(
                 F.col("t").alias("node"),
@@ -66,15 +87,33 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = cut_lineage(
-            nodes.join(contrib, "node", "left").select(
-                "node",
+        if symmetrize:
+            new_rank = F.round(
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
+                round_dp,
+            )
+            nxt = nodes.join(contrib, "node", "left")
+        else:
+            dang = dangling.join(ranks, "node").agg(
                 F.round(
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
-                    round_dp,
-                ).alias("rank"),
-            ),
+                    F.coalesce(F.sum("rank"), F.lit(0.0)), round_dp
+                ).alias("_dang")
+            )
+            new_rank = F.round(
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("_in"), F.lit(0.0))
+                    + F.col("_dang") / F.lit(float(n))
+                ),
+                round_dp,
+            )
+            nxt = nodes.join(contrib, "node", "left").crossJoin(
+                F.broadcast(dang)
+            )
+        ranks = cut_lineage(
+            nxt.select("node", new_rank.alias("rank")),
             checkpoint_dir,
             eager=False,
         )

@@ -661,3 +661,41 @@ def test_ngram_blocking_recall(spark):
     # precision of the verify step is exact by construction: every
     # emitted pair's Jaccard is computed on the full gram sets
     assert blocked <= exact | blocked  # sanity: no malformed ids
+
+
+def test_pagerank_directed_dangling_mass(spark):
+    """Directed mode: node 3 (no out-edges) would leak rank without
+    the dangling correction. With it, total mass stays 1 (up to 6-dp
+    rounding) and the ranks match the hand-computed power iteration."""
+    from json_ld_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src int, dst int"
+    )
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, n_iters=2, symmetrize=False).collect()
+    }
+    assert set(ranks) == {1, 2, 3}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
+    # hand replay, matching the recipe's rounding:
+    # r0 = 1/3 each; iter: dang = r(3);
+    # r(1) = .05 + .85*dang/3 ; r(2) = .05 + .85*(r1/2 + dang/3)
+    # r(3) = .05 + .85*(r1/2 + r2 + dang/3)
+    r = {1: round(1 / 3, 6), 2: round(1 / 3, 6), 3: round(1 / 3, 6)}
+    for _ in range(2):
+        dang = round(r[3], 6)
+        new = {
+            1: 0.15 / 3 + 0.85 * (0.0 + dang / 3),
+            2: 0.15 / 3 + 0.85 * (r[1] / 2 + dang / 3),
+            3: 0.15 / 3 + 0.85 * (r[1] / 2 + r[2] + dang / 3),
+        }
+        r = {k: round(v, 6) for k, v in new.items()}
+    for node in (1, 2, 3):
+        assert abs(ranks[node] - r[node]) < 1e-6, (node, ranks[node], r[node])
+    # without the correction the mass visibly decays: the dangling
+    # node's whole rank share is lost each round
+    sym_free_mass = sum(
+        0.15 / 3 + 0.85 * c for c in (0.0, r[1] / 2, r[1] / 2 + r[2])
+    )
+    assert sym_free_mass < 0.999  # the leak the correction repairs
