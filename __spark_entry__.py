@@ -1186,6 +1186,27 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_CHUNK_TOKENS = 48
+_BPE_CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-tokenizer chunking under the gate: the vendored
+    deterministic BPE (functions/bpe.py — frozen corpus, import-time
+    training, chained-replace encode) tokenizes every document and
+    windows the TOKEN array; the DuckDB oracle replays the full merge
+    chain and the windowing, so a wrong merge order, a mis-split
+    boundary, or an off-by-one in the token windows all fail the
+    hash. Closes the whitespace-token-proxy gap for the
+    training-data mandate."""
+    from json_ld_spark.operators.corpus import chunk_documents_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents_bpe(
+        docs, chunk_tokens=_BPE_CHUNK_TOKENS, overlap=_BPE_CHUNK_OVERLAP
+    )
+
+
 _PACK_TOKENS = 128
 _PACK_BUCKETS = 8
 
@@ -1668,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
         "chunk_documents": q_chunk_documents,
+        "chunk_documents_bpe": q_chunk_documents_bpe,
         "pack_chunks": q_pack_chunks,
         "deterministic_sample": q_deterministic_sample,
         "events_sessionize": q_events_sessionize,
@@ -2189,6 +2211,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(list_slice(
                  toks, widx * {stride} + 1,
                  widx * {stride} + {_CHUNK_TOKENS})) AS INT) AS n_tokens
+        FROM w
+        """
+    # BPE-chunk oracle: the token list is rebuilt by replaying the
+    # ENTIRE frozen merge chain (bpe_sql_tokens emits the nested
+    # replace() expression), then windowed with the same arithmetic;
+    # chunk_text concatenates with '' because BPE tokens segment the
+    # normalized text exactly
+    from json_ld_spark.functions.bpe import bpe_sql_tokens
+
+    bpe_stride = _BPE_CHUNK_TOKENS - _BPE_CHUNK_OVERLAP
+    d["chunk_documents_bpe"] = f"""
+        WITH dd AS (
+          SELECT doc_id, {bpe_sql_tokens('text')} AS toks
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, greatest(
+                   CAST(ceil((len(toks) - {_BPE_CHUNK_TOKENS})
+                        / {bpe_stride}.0) AS INT), 0))) AS widx
+          FROM dd
+        )
+        SELECT doc_id, CAST(widx AS INT) AS chunk_idx,
+               array_to_string(list_slice(
+                 toks, widx * {bpe_stride} + 1,
+                 widx * {bpe_stride} + {_BPE_CHUNK_TOKENS}), '') AS chunk_text,
+               CAST(len(list_slice(
+                 toks, widx * {bpe_stride} + 1,
+                 widx * {bpe_stride} + {_BPE_CHUNK_TOKENS})) AS INT)
+                 AS n_tokens
         FROM w
         """
     d["pack_chunks"] = f"""

@@ -129,6 +129,7 @@ def main() -> None:
         "dedup_keep",
         "dedup_keep_best",
         "chunk_documents",
+        "chunk_documents_bpe",
         "pack_chunks",
         "deterministic_sample",
         "kg_documents",

@@ -87,6 +87,63 @@ def chunk_documents(
     )
 
 
+def chunk_documents_bpe(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_tokens): fixed-size windows of
+    REAL BPE tokens (the vendored deterministic tokenizer in
+    functions/bpe.py) — the training-pipeline chunker, budgeting in
+    the unit the model trains on instead of the whitespace proxy.
+
+    BPE is a segmentation, so ``chunk_text`` (the window's tokens
+    concatenated) is an exact substring of the normalized document —
+    no boundary loss, and the whole computation (tokenize + window)
+    is a JVM column-expression chain with zero shuffle, replayed
+    verbatim by the SQL oracle. Same edge policy as
+    ``chunk_documents``: NULL/empty docs yield one empty chunk."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    from json_ld_spark.functions.bpe import bpe_tokens
+
+    stride = chunk_tokens - overlap
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        bpe_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((F.size("_toks") - F.lit(chunk_tokens)) / F.lit(stride))
+            .cast("int"),
+            F.lit(0),
+        ),
+    )
+    return (
+        staged.select(
+            "id",
+            "_toks",
+            F.posexplode(starts).alias("chunk_idx", "_w"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.slice(
+                F.col("_toks"), F.col("_w") * stride + 1, chunk_tokens
+            ).alias("_window"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "chunk_idx",
+            F.array_join("_window", "").alias("chunk_text"),
+            F.size("_window").alias("n_tokens"),
+        )
+    )
+
+
 def pack_chunks(
     chunks: DataFrame,
     target_tokens: int = 256,

@@ -699,3 +699,78 @@ def test_pagerank_directed_dangling_mass(spark):
         0.15 / 3 + 0.85 * c for c in (0.0, r[1] / 2, r[1] / 2 + r[2])
     )
     assert sym_free_mass < 0.999  # the leak the correction repairs
+
+
+def test_bpe_tokens_segmentation_properties(spark):
+    """The vendored BPE is a segmentation: concatenating the token
+    array reconstructs the normalized text exactly; empty/NULL docs
+    tokenize to []; the frozen merge table is import-deterministic."""
+    from json_ld_spark.functions.bpe import MERGES, bpe_tokens, train_merges, _train_corpus
+
+    # frozen-table determinism: retraining reproduces the vendored table
+    assert tuple(train_merges(_train_corpus(), 64)) == MERGES
+    assert len(MERGES) == 64
+
+    rows = [
+        (1, "The quick brown fox and the lazy dog"),
+        (2, "  multiple   spaces\tand TABS "),
+        (3, ""),
+        (4, None),
+        (5, "punct, marks! (ok?) 123"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            bpe_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))), "\\s+", " "
+                )
+            ).alias("norm"),
+        ).collect()
+    }
+    for d in (1, 2, 5):
+        assert "".join(out[d]["toks"]) == out[d]["norm"]
+        assert all(len(t) >= 1 for t in out[d]["toks"])
+    for d in (1, 2):
+        # multi-char tokens exist: the merges actually fire on English
+        assert any(len(t) > 1 for t in out[d]["toks"]), out[d]["toks"]
+    assert out[3]["toks"] == [] and out[4]["toks"] == []
+
+
+def test_chunk_documents_bpe_windows(spark):
+    """BPE chunk windows: overlap honored in TOKENS, concatenated
+    window text is a substring of the normalized document, full
+    coverage, empty doc yields one empty chunk."""
+    from json_ld_spark.functions.bpe import bpe_tokens
+    from json_ld_spark.operators.corpus import chunk_documents_bpe
+
+    text = " ".join(
+        "the quick brown fox jumps over the lazy dog".split() * 20
+    )
+    df = spark.createDataFrame(
+        [(1, text), (2, "tiny"), (3, "")], "doc_id int, text string"
+    )
+    toks = df.filter("doc_id = 1").select(
+        bpe_tokens(F.col("text")).alias("t")
+    ).collect()[0]["t"]
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents_bpe(df, chunk_tokens=32, overlap=8).collect()
+    }
+    norm = " ".join(text.split()).lower()
+    # stride 24: window w covers tokens [24w, 24w+32)
+    n_windows = max((len(toks) - 32 + 23) // 24, 0) + 1
+    assert {i for (d, i) in rows if d == 1} == set(range(n_windows))
+    for (d, i), r in rows.items():
+        if d != 1:
+            continue
+        assert r["chunk_text"] == "".join(toks[i * 24 : i * 24 + 32])
+        assert r["chunk_text"] in norm
+        assert r["n_tokens"] == len(toks[i * 24 : i * 24 + 32])
+    # overlap: consecutive windows share exactly 8 tokens
+    assert rows[(1, 0)]["chunk_text"][-len("".join(toks[24:32])):] == "".join(toks[24:32])
+    assert rows[(2, 0)]["n_tokens"] >= 1
+    assert rows[(3, 0)]["n_tokens"] == 0 and rows[(3, 0)]["chunk_text"] == ""
