@@ -1227,6 +1227,24 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-prep path in REAL tokens under one gate:
+    BPE-tokenize → window into chunks → first-fit pack into
+    fixed-token training sequences. The oracle composes the BPE merge
+    replay, the window arithmetic, and the running-total pack window,
+    so the whole pipeline a training job runs before the dataloader
+    is hash-gated end-to-end in the unit the model trains on."""
+    from json_ld_spark.operators.corpus import chunk_documents_bpe, pack_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = chunk_documents_bpe(
+        docs, chunk_tokens=_BPE_CHUNK_TOKENS, overlap=_BPE_CHUNK_OVERLAP
+    )
+    return pack_chunks(
+        chunks, target_tokens=_PACK_TOKENS, n_buckets=_PACK_BUCKETS
+    )
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash sampling under the gate (md5 cross-engine family): the
     kept row set is a pure function of the key — reproducible across
@@ -1691,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "chunk_documents_bpe": q_chunk_documents_bpe,
         "pack_chunks": q_pack_chunks,
+        "pack_chunks_bpe": q_pack_chunks_bpe,
         "deterministic_sample": q_deterministic_sample,
         "events_sessionize": q_events_sessionize,
         "lineitem_agg": q_lineitem_agg,
@@ -2245,6 +2264,18 @@ def oracle_sql() -> dict[str, str]:
         """
     d["pack_chunks"] = f"""
         WITH chunks AS ({d["chunk_documents"]})
+        SELECT CAST(doc_id % {_PACK_BUCKETS} AS INT) AS pack_bucket,
+               doc_id, chunk_idx, n_tokens,
+               CAST(floor(
+                 (sum(n_tokens) OVER (
+                    PARTITION BY doc_id % {_PACK_BUCKETS}
+                    ORDER BY doc_id, chunk_idx
+                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+                 / {_PACK_TOKENS}) AS INT) AS pack_id
+        FROM chunks
+        """
+    d["pack_chunks_bpe"] = f"""
+        WITH chunks AS ({d["chunk_documents_bpe"]})
         SELECT CAST(doc_id % {_PACK_BUCKETS} AS INT) AS pack_bucket,
                doc_id, chunk_idx, n_tokens,
                CAST(floor(

@@ -131,6 +131,7 @@ def main() -> None:
         "chunk_documents",
         "chunk_documents_bpe",
         "pack_chunks",
+        "pack_chunks_bpe",
         "deterministic_sample",
         "kg_documents",
         "kg_node_docs",
