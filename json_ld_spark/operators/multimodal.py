@@ -117,14 +117,161 @@ def _parse_ppm(payload: bytes, offset: int = 0) -> tuple[int, int, bytes, int]:
     return width, height, pixels, pos + n
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_payload(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """REAL compressed PNG encode (pure stdlib): 8-bit truecolor RGB,
+    zlib-compressed IDAT, per-row filter cycling None/Sub/Up so the
+    decoder's unfilter paths are genuinely exercised by the synthetic
+    corpus (Average/Paeth are covered by unit tests)."""
+    import zlib
+
+    stride = width * 3
+    prior = bytes(stride)
+    out = bytearray()
+    for y in range(height):
+        row = pixel_bytes[y * stride:(y + 1) * stride]
+        f = y % 3
+        out.append(f)
+        if f == 0:
+            out += row
+        elif f == 1:  # Sub
+            out += bytes(
+                (row[x] - (row[x - 3] if x >= 3 else 0)) & 0xFF
+                for x in range(stride)
+            )
+        else:  # Up
+            out += bytes((row[x] - prior[x]) & 0xFF for x in range(stride))
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL PNG decode, pure stdlib: chunk walk with CRC verification,
+    IHDR validation (8-bit truecolor RGB, no interlace), zlib inflate
+    of the concatenated IDAT stream, and full unfilter (all five
+    filter types: None/Sub/Up/Average/Paeth). Raises ValueError on a
+    malformed container. This is the production-shaped compressed-
+    codec path — JPEG/H.264 still need external libs, but PNG needs
+    only zlib, which is stdlib."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos = 8
+    width = height = -1
+    idat = bytearray()
+    seen_ihdr = seen_iend = False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk data")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit truecolor non-interlaced PNG supported"
+                )
+            seen_ihdr = True
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if not (seen_ihdr and seen_iend):
+        raise ValueError("PNG missing IHDR or IEND")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = bytearray(height * stride)
+    prior = bytes(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        recon = bytearray(stride)
+        for x in range(stride):
+            left = recon[x - 3] if x >= 3 else 0
+            up = prior[x]
+            ul = prior[x - 3] if x >= 3 else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] + left
+            elif f == 2:
+                v = line[x] + up
+            elif f == 3:
+                v = line[x] + (left + up) // 2
+            elif f == 4:
+                v = line[x] + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"unknown PNG filter {f}")
+            recon[x] = v & 0xFF
+        out[y * stride:(y + 1) * stride] = recon
+        prior = bytes(recon)
+    return width, height, bytes(out)
+
+
 def decode_image(
     payload: bytes, meta: "dict | None" = None, strict: bool = False
 ) -> tuple[int, int, bytes]:
-    """(width, height, pixel_bytes) from a binary-PPM (P6) payload —
-    a REAL parse of real bytes. Compressed codecs (JPEG/PNG) need
+    """(width, height, pixel_bytes) from a binary-PPM (P6) or PNG
+    (8-bit RGB) payload — REAL parses of real bytes, PNG including
+    zlib inflate, CRC checks, and scanline unfiltering. JPEG needs
     Pillow, absent in this container: strict mode raises, non-strict
     falls back to a deterministic digest fake (0×0 dims) so plumbing
     tests can run on arbitrary bytes."""
+    if payload[:8] == _PNG_SIG:
+        try:
+            return _parse_png(payload)
+        except (ValueError, IndexError, struct.error):
+            # malformed PNG: strict surfaces it, non-strict honors the
+            # digest-fallback contract
+            if strict:
+                raise
     if payload[:2] == b"P6":
         try:
             w, h, pixels, _ = _parse_ppm(payload)
@@ -137,8 +284,8 @@ def decode_image(
                 raise
     if strict:
         raise NotImplementedError(
-            "compressed image codecs need Pillow; only PPM (P6) decodes "
-            "in this container"
+            "JPEG needs Pillow; PPM (P6) and PNG (8-bit RGB) decode "
+            "natively in this container"
         )
     return 0, 0, hashlib.sha256(payload).digest()
 
@@ -295,10 +442,18 @@ def synthesize_decodable_media(
                 kind = ("image", "audio", "video")[mid % 3]
                 if kind == "image":
                     w, h = _image_dims(mid)
-                    payload = _ppm_payload(
-                        w, h, _image_pixels(mid, w * h * 3).tobytes()
-                    )
-                    meta = (w, h, None, None, "ppm")
+                    px = _image_pixels(mid, w * h * 3).tobytes()
+                    # alternate containers: every other image is a
+                    # REAL zlib-compressed PNG (filtered scanlines),
+                    # the rest stay PPM — the same closed-form oracle
+                    # gates both, so the hash proves the compressed
+                    # encode→decode round trip
+                    if mid % 2 == 0:
+                        payload = _png_payload(w, h, px)
+                        meta = (w, h, None, None, "png")
+                    else:
+                        payload = _ppm_payload(w, h, px)
+                        meta = (w, h, None, None, "ppm")
                 elif kind == "audio":
                     ns = _audio_samples_n(mid)
                     buf = io.BytesIO()
