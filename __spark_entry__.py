@@ -140,8 +140,11 @@ def q_kg_triples_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _triples(spark, sf_dir)
+    # conv[0-9]+ (not {8}): conv ids are %08d-padded but GROW past 8
+    # digits beyond 10^8 conversations — the fixed-width pattern
+    # silently merged distinct conversations at the sf1 sweep scale
     return (
-        t.groupBy(F.regexp_extract("subj", "conv[0-9]{8}", 0).alias("conv"))
+        t.groupBy(F.regexp_extract("subj", "conv[0-9]+", 0).alias("conv"))
         .agg(F.count("*").alias("n_triples"))
     )
 
@@ -1900,7 +1903,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN {_gazetteer_values()} ON contains(t.text, g.surface)
           ) GROUP BY conv_id
         ), metac AS (
-          SELECT regexp_extract(subj, 'conv[0-9]{{8}}', 0) AS conv, count(*) AS n
+          SELECT regexp_extract(subj, 'conv[0-9]+', 0) AS conv, count(*) AS n
           FROM meta GROUP BY 1
         )
         SELECT metac.conv AS conv,
