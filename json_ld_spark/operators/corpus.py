@@ -110,7 +110,15 @@ def chunk_documents_bpe(
     from json_ld_spark.functions.bpe import bpe_tokens
 
     stride = chunk_tokens - overlap
-    staged = docs.select(
+    # pin CPU parallelism before the merge chain: a small parquet
+    # corpus arrives as ONE input split, and the encode is ~1.3 ms of
+    # JVM string work per document — without the explicit repartition
+    # the whole chain runs on a single core (measured 6.3 s → 0.5 s
+    # at sf0.1). Partition count tracks the session's parallelism, so
+    # at real scale (many splits) this is a cheap id-hash shuffle that
+    # also balances skewed file sizes.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    staged = docs.repartition(n_parts, id_col).select(
         F.col(id_col).alias("id"),
         bpe_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
     )
