@@ -1135,6 +1135,99 @@ def q_stream_turn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the gate: the events table is
+    replayed as THREE ordered micro-batches where batches 1 and 2
+    carry planted EXACT COPIES of batch-0 rows (every 7th early
+    event, full row re-sent — the at-least-once redelivery shape).
+    dropDuplicatesWithinWatermark must emit each event exactly once,
+    so the compacted sink equals the ORIGINAL events table row-for-row
+    — an un-dropped replay, a dropped first arrival, or premature
+    state eviction all fail the hash. The watermark delay (240 h)
+    exceeds the staged corpus's event-time span, so every planted
+    duplicate arrives inside its key's state window and the drop
+    guarantee is unconditional — which is what makes the batch
+    DISTINCT oracle exact rather than approximate."""
+    import datetime
+
+    from json_ld_spark.streaming.stream_pipeline import stream_exact_dedup
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(*cols)
+    tmax = ev.agg(F.max("ts")).collect()[0][0]  # 1-row parameter fetch
+    t1 = tmax - datetime.timedelta(hours=96)
+    t2 = tmax - datetime.timedelta(hours=48)
+    f0 = ev.filter(F.col("ts") < F.lit(t1))
+    dup = f0.filter(F.col("event_id") % 7 == 0)
+    f1 = ev.filter(
+        (F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))
+    ).unionByName(dup)
+    f2 = ev.filter(F.col("ts") >= F.lit(t2)).unionByName(dup)
+
+    base = _fresh_stream_dir("kgdedup_")
+    in_dir = _stage_ordered_batches(base, (f0, f1, f2))
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out_dir = _run_available_now(
+        stream_exact_dedup(stream, watermark="240 hours"), base
+    )
+    return spark.read.parquet(out_dir).select(*cols)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters under the gate: per-document
+    duplicate-word and top-bigram fractions, computed as a zero-
+    shuffle JVM fold (max-run-length over the sorted bigram array) —
+    the oracle recomputes the same numbers RELATIONALLY (unnest →
+    per-gram counts → max/sum), so the fold, the bigram construction,
+    and the 6-dp rounding are all cross-checked by a structurally
+    different algorithm, not replayed."""
+    from json_ld_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_DECON_N = 6
+_DECON_BENCH_MOD = 211
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination under the gate: the eval set is a
+    deterministic slice of the corpus itself (doc_id ≡ 0 mod 211 —
+    self-contained, no external data), the training side is everything
+    else, and each training doc is scored by how many of its distinct
+    word 6-grams appear in the eval set. The eval gram set is
+    broadcast (eval suites are small by construction); clean docs
+    appear with n_hit_grams = 0 — a silently dropped clean doc or a
+    missed leak both fail the hash."""
+    from json_ld_spark.operators.decontaminate import contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+    train = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+    return contamination(train, bench, n=_DECON_N)
+
+
+def q_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle counts on the KG co-occurrence graph with
+    the degree-oriented (Suri–Vassilvitskii) enumeration — wedges are
+    generated only at each edge's low-degree endpoint, so hub
+    entities cannot blow up the self-join. The oracle recomputes the
+    ORIENTATION (degree table + tie-break) and the closed-wedge join
+    in SQL, so a wrong orientation rule, a double-counted triangle,
+    or a missed closing edge all fail the hash."""
+    from json_ld_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_cooccurrence_edges(spark, sf_dir))
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.operators.dedup import exact_dedup
 
@@ -1707,6 +1800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_turn_chain": q_stream_turn_chain,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_turn_rate": q_stream_turn_rate,
+        "stream_dedup": q_stream_dedup,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
+        "entity_triangles": q_entity_triangles,
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
         "chunk_documents": q_chunk_documents,
@@ -2423,6 +2520,108 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM imgstat
         UNION ALL SELECT * FROM audstat
         UNION ALL SELECT * FROM vidstat
+        """
+    # streaming dedup oracle: every planted duplicate is an EXACT
+    # re-send of an original row and arrives inside its key's state
+    # window, so the deduped sink must equal the original table
+    d["stream_dedup"] = """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        """
+    # repetition oracle: relational recomputation (unnest → per-gram
+    # counts → max/sum) of the Spark side's zero-shuffle sorted-array
+    # fold — a structurally different algorithm, not a replay
+    _norm_w = (
+        "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+    )
+    d["repetition_stats"] = f"""
+        WITH w AS (
+          SELECT doc_id,
+                 CASE WHEN length({_norm_w}) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split({_norm_w}, ' ') END AS words
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, words,
+                 CASE WHEN len(words) >= 2 THEN
+                   list_transform(generate_series(1, len(words) - 1),
+                                  i -> words[i] || ' ' || words[i + 1])
+                 ELSE CAST([] AS VARCHAR[]) END AS bigrams
+          FROM w
+        ),
+        u AS (SELECT doc_id, unnest(bigrams) AS gram FROM b),
+        c AS (SELECT doc_id, gram, count(*) AS n FROM u GROUP BY 1, 2),
+        mx AS (SELECT doc_id, max(n) AS maxn, sum(n) AS tot
+               FROM c GROUP BY 1)
+        SELECT b.doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CASE WHEN len(words) = 0 THEN 0.0
+                    ELSE round(1.0 - len(list_distinct(words)) * 1.0
+                               / len(words), 6) END AS dup_word_frac,
+               CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+               CASE WHEN len(bigrams) = 0 THEN 0.0
+                    ELSE round(mx.maxn * 1.0 / mx.tot, 6)
+                    END AS top_bigram_frac
+        FROM b LEFT JOIN mx ON b.doc_id = mx.doc_id
+        """
+    # decontamination oracle: same gram construction, relational join
+    d["decontaminate"] = f"""
+        WITH w AS (
+          SELECT doc_id,
+                 CASE WHEN length({_norm_w}) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split({_norm_w}, ' ') END AS words
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, len(words) - {_DECON_N - 1}),
+                   i -> array_to_string(
+                     list_slice(words, i, i + {_DECON_N - 1}), ' '))))
+                   AS gram
+          FROM w WHERE len(words) >= {_DECON_N}
+        ),
+        bg AS (SELECT DISTINCT gram FROM g
+               WHERE doc_id % {_DECON_BENCH_MOD} = 0),
+        hits AS (
+          SELECT g.doc_id, count(*) AS n
+          FROM g JOIN bg USING (gram)
+          WHERE g.doc_id % {_DECON_BENCH_MOD} <> 0
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(h.n, 0) AS n_hit_grams,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % {_DECON_BENCH_MOD} <> 0
+        """
+    # triangle oracle: recomputes the degree orientation and the
+    # closed-wedge join relationally over the mention-pair edge set
+    d["entity_triangles"] = _MENTION_CTE + """
+        , e0 AS (
+          SELECT DISTINCT ma.iri AS u, mb.iri AS v
+          FROM m ma JOIN m mb
+            ON ma.conv_id = mb.conv_id AND ma.turn_idx = mb.turn_idx
+           AND ma.iri <> mb.iri
+        ),
+        deg AS (SELECT u, count(*) AS d FROM e0 GROUP BY 1),
+        o AS (
+          SELECT e0.u, e0.v FROM e0
+          JOIN deg du ON du.u = e0.u
+          JOIN deg dv ON dv.u = e0.v
+          WHERE du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        ),
+        wed AS (
+          SELECT o1.u AS a, o1.v AS x, o2.v AS y
+          FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+        ),
+        closed AS (
+          SELECT w.a, w.x, w.y FROM wed w
+          WHERE EXISTS (SELECT 1 FROM o
+                        WHERE (o.u = w.x AND o.v = w.y)
+                           OR (o.u = w.y AND o.v = w.x))
+        ),
+        tv AS (SELECT unnest([a, x, y]) AS entity FROM closed)
+        SELECT entity, count(*) AS n_triangles FROM tv GROUP BY 1
         """
     # canonicalization: merging the planted odd-turn variant IRIs back
     # is an identity on the entity-link triples; the merge map itself

@@ -142,11 +142,15 @@ def main() -> None:
         "jsonld_expand_table",
         "multimodal_plan",
         "multimodal_decode",
+        "repetition_stats",
+        "decontaminate",
+        "entity_triangles",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)
     stream_queries = ["stream_triples", "stream_turn_chain",
-                      "stream_windowed_counts", "stream_turn_rate"]
+                      "stream_windowed_counts", "stream_turn_rate",
+                      "stream_dedup"]
     qmap = entry.queries()
     for name in bench_queries:
         dt = float("inf")

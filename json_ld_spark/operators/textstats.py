@@ -218,3 +218,82 @@ def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(n).alias("fp_md5"),
         shingle_fingerprint(n, pre_normalized=True).alias("fp_shingle"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one row per document:
+
+      - ``n_words``            whitespace tokens
+      - ``dup_word_frac``      1 − distinct/total words (6 dp)
+      - ``n_bigrams``          word bigrams (n_words − 1, floor 0)
+      - ``top_bigram_frac``    most-frequent-bigram count / n_bigrams
+                               (6 dp) — the "fraction of characters in
+                               the most common 2-gram" rule from the
+                               Gopher filtering suite, in token form
+
+    Scale design: the WHOLE computation is per-row JVM column
+    expressions — zero shuffle, zero explode. The most-frequent-bigram
+    count is a max-run-length fold over the SORTED bigram array
+    (``aggregate`` with a (prev, run, best) struct accumulator), so a
+    100-TB corpus pays one narrow map stage, not an explode +
+    two-level groupBy. Each array (words, bigrams, sorted bigrams) is
+    staged in its own projection — interpreted HOFs re-evaluate
+    captured expressions once per element (the dedup.py ``_lt``
+    pitfall), so nesting the split inside the transform would
+    re-tokenize per bigram.
+
+    NULL/empty text behaves as the empty document (0 words, fractions
+    0.0) — coalesced up front so non-ANSI ``size(NULL) = -1`` can't
+    leak in (the corpus.py chunker's NULL-text lesson)."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                         "\\s+", " ")
+    )
+    words = F.when(F.length(norm) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(norm, " "))
+    staged = docs.select(F.col(id_col), words.alias("_w"))
+    w = F.col("_w")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i),
+                                  F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select(id_col, "_w", F.array_sort(bigrams).alias("_bg"))
+    bg = F.col("_bg")
+    # max run length over the sorted bigram array: one fold, no shuffle
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    top_count = F.aggregate(
+        bg,
+        zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    n_words = F.size(w)
+    n_bigrams = F.size(bg)
+    return staged.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words == 0, F.lit(0.0))
+        .otherwise(
+            F.round(1.0 - F.size(F.array_distinct(w)) / n_words, 6)
+        )
+        .alias("dup_word_frac"),
+        n_bigrams.cast("long").alias("n_bigrams"),
+        F.when(n_bigrams == 0, F.lit(0.0))
+        .otherwise(F.round(top_count / n_bigrams, 6))
+        .alias("top_bigram_frac"),
+    )

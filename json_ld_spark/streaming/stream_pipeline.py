@@ -195,3 +195,36 @@ def stateful_turn_chain(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_exact_dedup(
+    events_stream: DataFrame,
+    id_cols: "tuple[str, ...]" = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "240 hours",
+) -> DataFrame:
+    """Streaming exact deduplication (dropDuplicatesWithinWatermark):
+    the ingestion-side twin of the batch exact-dedup family — at-least-
+    once upstream delivery (replayed Kafka offsets, retried file
+    drops) re-sends the same record across micro-batches, and this
+    operator emits each key's FIRST arrival and drops every duplicate
+    that lands within ``watermark`` of it.
+
+    Why WithinWatermark and not plain dropDuplicates: plain streaming
+    dropDuplicates keeps every key's state FOREVER — unbounded state
+    on an unbounded stream. The watermark variant evicts a key's
+    state once the event-time watermark passes its first arrival +
+    delay, which bounds state by the duplicate-arrival horizon (a
+    delivery-layer property you know) rather than by stream lifetime.
+    At 100 TB/day this is the difference between a fixed-size state
+    store and an OOM.
+
+    The output preserves the full row of the first arrival; emitted
+    timestamps are cast back to NTZ so the sink is engine-neutral
+    (same LTZ/NTZ policy as stream_event_counts)."""
+    return (
+        events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(id_cols))
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp_ntz"))
+    )

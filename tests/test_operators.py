@@ -774,3 +774,119 @@ def test_chunk_documents_bpe_windows(spark):
     assert rows[(1, 0)]["chunk_text"][-len("".join(toks[24:32])):] == "".join(toks[24:32])
     assert rows[(2, 0)]["n_tokens"] >= 1
     assert rows[(3, 0)]["n_tokens"] == 0 and rows[(3, 0)]["chunk_text"] == ""
+
+
+def test_repetition_stats_hand_values(spark):
+    from json_ld_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "a b a b a"),          # words=5, distinct=2; bigrams:
+                                   # [a b, b a, a b, b a] -> top 2/4
+        (2, "x y z"),              # no repetition: dup 0, top 1/2
+        (3, ""),                   # empty: all zeros
+        (4, None),                 # NULL behaves as empty
+        (5, "w"),                  # single word: 0 bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()
+    }
+    assert got[1]["n_words"] == 5
+    assert got[1]["dup_word_frac"] == pytest.approx(1 - 2 / 5)
+    assert got[1]["n_bigrams"] == 4
+    assert got[1]["top_bigram_frac"] == pytest.approx(0.5)
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == pytest.approx(0.5)
+    for k in (3, 4):
+        assert got[k] == {
+            "doc_id": k, "n_words": 0, "dup_word_frac": 0.0,
+            "n_bigrams": 0, "top_bigram_frac": 0.0,
+        }
+    assert got[5]["n_words"] == 1 and got[5]["n_bigrams"] == 0
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    """A fully-repeated document — the case the Gopher rule exists
+    to catch — scores dup_word_frac and top_bigram_frac near 1."""
+    from json_ld_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["spam"] * 40))], "doc_id long, text string"
+    )
+    row = repetition_stats(df).collect()[0]
+    assert row["dup_word_frac"] == pytest.approx(1 - 1 / 40)
+    assert row["top_bigram_frac"] == 1.0
+
+
+def test_contamination_planted_leak(spark):
+    from json_ld_spark.operators.decontaminate import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # quotes a 6-gram of the benchmark verbatim -> contaminated
+            (1, "intro Alpha beta GAMMA delta epsilon zeta outro"),
+            # shares only 5 consecutive words -> clean at n=6
+            (2, "beta gamma delta epsilon zeta other words here"),
+            # no overlap at all
+            (3, "completely unrelated text with many plain words"),
+            # shorter than n words -> clean by definition
+            (4, "alpha beta gamma"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+        for r in contamination(docs, bench, n=6).collect()
+    }
+    assert got[1] == (1, True)          # case-insensitive match
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+    assert got[5] == (0, False)
+    assert len(got) == 5                # clean docs are NOT dropped
+
+
+def test_triangle_counts_known_graphs(spark):
+    from json_ld_spark.operators.graph import triangle_counts
+
+    # K4: every vertex sits in C(3,2) = 3 triangles
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    df = spark.createDataFrame(k4, "src string, dst string")
+    got = {r["entity"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {v: 3 for v in "abcd"}
+
+    # star graph: a hub with many leaves closes no triangle at all
+    star = [("hub", f"leaf{i}") for i in range(50)]
+    assert triangle_counts(
+        spark.createDataFrame(star, "src string, dst string")
+    ).count() == 0
+
+    # triangle + pendant edge: pendant vertex d has no triangles and
+    # must be ABSENT (count table only lists participating vertices)
+    tri = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    got = {
+        r["entity"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(tri, "src string, dst string")
+        ).collect()
+    }
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_direction_and_duplicates_ignored(spark):
+    from json_ld_spark.operators.graph import triangle_counts
+
+    # same triangle given with mixed directions and parallel edges
+    e = [("a", "b"), ("b", "a"), ("c", "b"), ("a", "c"), ("a", "c")]
+    got = {
+        r["entity"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(e, "src string, dst string")
+        ).collect()
+    }
+    assert got == {"a": 1, "b": 1, "c": 1}

@@ -183,3 +183,57 @@ def test_stateful_turn_chain_sorts_across_arrow_chunks(spark, tmp_path):
         for r in spark.sql("SELECT * FROM turn_chain_chunks").collect()
     )
     assert got == [(i, i + 1) for i in range(n - 1)]
+
+
+def test_stream_exact_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Two micro-batches where batch 1 re-sends half of batch 0's rows
+    verbatim (at-least-once redelivery): the deduped sink must hold
+    each event exactly once, including the batch-1-only rows."""
+    from json_ld_spark.streaming.stream_pipeline import stream_exact_dedup
+
+    base = datetime.datetime(2024, 1, 1)
+    rows0 = [(i, base + datetime.timedelta(minutes=i), "a") for i in range(10)]
+    resent = rows0[::2]
+    rows1 = [
+        (i, base + datetime.timedelta(minutes=i), "b") for i in range(10, 16)
+    ] + resent
+    schema = "event_id long, ts timestamp_ntz, event_type string"
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((rows0, rows1)):
+        tmp = str(tmp_path / f"tmp{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+        import glob
+
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, f"batch{i}.parquet")
+        shutil.copy(src, dest)
+        os.utime(dest, (1_700_000_000 + i * 1000,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream_exact_dedup(stream, watermark="240 hours")
+        .writeStream.foreachBatch(
+            lambda df, _e: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 16
+    assert got.select("event_id").distinct().count() == 16
+    # the first arrival's payload wins: resent ids keep event_type 'a'
+    assert (
+        got.filter(F.col("event_id") < 10)
+        .filter(F.col("event_type") != "a")
+        .count()
+        == 0
+    )
