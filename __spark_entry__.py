@@ -2465,7 +2465,26 @@ def oracle_sql() -> dict[str, str]:
         img AS (
           SELECT id AS media_id,
                  (id % 8) * 8 + 8 AS w, (id % 4) * 8 + 8 AS h
-          FROM m WHERE id % 3 = 0
+          FROM m WHERE id % 3 = 0 AND (id // 3) % 3 <> 2
+        ),
+        jimg AS (
+          SELECT id AS media_id,
+                 (id % 8) * 8 + 8 AS w, (id % 4) * 8 + 8 AS h
+          FROM m WHERE id % 3 = 0 AND (id // 3) % 3 = 2
+        ),
+        jblk AS (
+          SELECT media_id, w, h,
+                 unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS b
+          FROM jimg
+        ),
+        jstat AS (
+          SELECT media_id, 'image' AS kind, 0 AS part,
+                 CAST(sum(64) AS BIGINT) AS n_values,
+                 CAST(sum(((media_id * 7 + b * 13) % 256) * 64) AS BIGINT)
+                   AS sum_values,
+                 min((media_id * 7 + b * 13) % 256) AS min_value,
+                 max((media_id * 7 + b * 13) % 256) AS max_value
+          FROM jblk GROUP BY 1
         ),
         imgi AS (
           SELECT media_id, unnest(generate_series(0, w * h * 3 - 1)) AS i
@@ -2518,6 +2537,7 @@ def oracle_sql() -> dict[str, str]:
           FROM vidi GROUP BY 1, 3
         )
         SELECT * FROM imgstat
+        UNION ALL SELECT * FROM jstat
         UNION ALL SELECT * FROM audstat
         UNION ALL SELECT * FROM vidstat
         """

@@ -258,18 +258,32 @@ def _parse_png(payload: bytes) -> tuple[int, int, bytes]:
 def decode_image(
     payload: bytes, meta: "dict | None" = None, strict: bool = False
 ) -> tuple[int, int, bytes]:
-    """(width, height, pixel_bytes) from a binary-PPM (P6) or PNG
-    (8-bit RGB) payload — REAL parses of real bytes, PNG including
-    zlib inflate, CRC checks, and scanline unfiltering. JPEG needs
-    Pillow, absent in this container: strict mode raises, non-strict
-    falls back to a deterministic digest fake (0×0 dims) so plumbing
-    tests can run on arbitrary bytes."""
+    """(width, height, pixel_bytes) from a binary-PPM (P6), PNG
+    (8-bit RGB), or baseline grayscale JPEG payload — REAL parses of
+    real bytes: PNG includes zlib inflate, CRC checks, and scanline
+    unfiltering; JPEG includes Huffman entropy decode, dequantization,
+    and IDCT (operators/jpeg.py). Returned pixel_bytes is 3·w·h RGB
+    for PPM/PNG and w·h luminance for grayscale JPEG — callers branch
+    on length. COLOR (multi-component) JPEG still needs Pillow:
+    strict mode raises, non-strict falls back to a deterministic
+    digest fake (0×0 dims) so plumbing tests can run on arbitrary
+    bytes."""
     if payload[:8] == _PNG_SIG:
         try:
             return _parse_png(payload)
         except (ValueError, IndexError, struct.error):
             # malformed PNG: strict surfaces it, non-strict honors the
             # digest-fallback contract
+            if strict:
+                raise
+    if payload[:2] == b"\xff\xd8":
+        from json_ld_spark.operators.jpeg import decode_gray
+
+        try:
+            return decode_gray(payload)
+        except (ValueError, IndexError, struct.error):
+            # color/progressive JPEG (or corrupt stream): strict
+            # surfaces it — that remains the Pillow swap-in point
             if strict:
                 raise
     if payload[:2] == b"P6":
@@ -409,6 +423,16 @@ def _video_frames_n(media_id: int) -> int:
     return (media_id % 30) + 1
 
 
+def _jpeg_block_values(media_id: int, n_blocks: int) -> np.ndarray:
+    """Closed-form per-block luminance for the JPEG corpus:
+    v(id, b) = (id·7 + b·13) % 256, b row-major. Every pixel of block
+    b carries v — the constant-block shape that makes the lossy codec
+    bit-exact under a unit quant table (see operators/jpeg.py)."""
+    return ((media_id * 7 + np.arange(n_blocks) * 13) % 256).astype(
+        np.int64
+    )
+
+
 def _image_pixels(media_id: int, n: int, frame: int = 0) -> np.ndarray:
     """Closed-form pixel bytes: value(i) = (id*7 + frame*3 + i*13) % 256.
     The SAME closed form is recomputed by the DuckDB oracle from
@@ -442,16 +466,34 @@ def synthesize_decodable_media(
                 kind = ("image", "audio", "video")[mid % 3]
                 if kind == "image":
                     w, h = _image_dims(mid)
-                    px = _image_pixels(mid, w * h * 3).tobytes()
-                    # alternate containers: every other image is a
-                    # REAL zlib-compressed PNG (filtered scanlines),
-                    # the rest stay PPM — the same closed-form oracle
-                    # gates both, so the hash proves the compressed
-                    # encode→decode round trip
-                    if mid % 2 == 0:
+                    # container cycles png / ppm / jpeg-gray — PNG and
+                    # PPM share the RGB closed form; JPEG (lossy)
+                    # carries CONSTANT 8×8 blocks with a unit quant
+                    # table, the one shape whose DCT round trip is
+                    # bit-exact, so the same hash-gate discipline
+                    # covers all three containers
+                    container = (mid // 3) % 3
+                    if container == 2:
+                        from json_ld_spark.operators.jpeg import (
+                            encode_gray,
+                        )
+
+                        nb = (w // 8) * (h // 8)
+                        blocks = _jpeg_block_values(mid, nb)
+                        gray = np.repeat(
+                            np.repeat(
+                                blocks.reshape(h // 8, w // 8), 8, axis=0
+                            ),
+                            8, axis=1,
+                        ).astype(np.uint8)
+                        payload = encode_gray(w, h, gray.tobytes())
+                        meta = (w, h, None, None, "jpeg-gray")
+                    elif container == 0:
+                        px = _image_pixels(mid, w * h * 3).tobytes()
                         payload = _png_payload(w, h, px)
                         meta = (w, h, None, None, "png")
                     else:
+                        px = _image_pixels(mid, w * h * 3).tobytes()
                         payload = _ppm_payload(w, h, px)
                         meta = (w, h, None, None, "ppm")
                 elif kind == "audio":
@@ -520,8 +562,11 @@ def decode_stats(media: DataFrame, every_n: int = 5) -> DataFrame:
                     arr = np.frombuffer(pixels, dtype=np.uint8).astype(
                         np.int64
                     )
-                    for c in range(3):
-                        ch = arr[c::3]
+                    # RGB interleaved (3·w·h) → one row per channel;
+                    # grayscale JPEG (w·h) → a single part-0 row
+                    n_ch = 3 if len(arr) == _w * _h * 3 else 1
+                    for c in range(n_ch):
+                        ch = arr[c::n_ch]
                         rows.append((mid, kind, c, len(ch), int(ch.sum()),
                                      int(ch.min()), int(ch.max())))
                 elif kind == "audio":

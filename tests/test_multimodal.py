@@ -55,9 +55,11 @@ def test_features_feed_similarity_ops(spark):
 
 
 def test_strict_codec_raises_on_compressed_formats():
-    """Compressed codecs (JPEG etc.) still raise in strict mode —
-    only the stdlib-decodable containers parse."""
-    with pytest.raises(NotImplementedError):
+    """Codecs outside the native set still raise in strict mode:
+    malformed/color JPEG surfaces its parse error (grayscale baseline
+    now decodes natively — operators/jpeg.py), mp3 stays the
+    documented library boundary."""
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpegish", None, strict=True)
     from json_ld_spark.operators.multimodal import decode_audio
 
@@ -204,6 +206,20 @@ def test_decode_stats_matches_local_recompute(spark):
         kind = ("image", "audio", "video")[mid % 3]
         if kind == "image":
             w, h = _image_dims(mid)
+            if (mid // 3) % 3 == 2:  # jpeg-gray: constant-block content
+                from json_ld_spark.operators.multimodal import (
+                    _jpeg_block_values,
+                )
+
+                blocks = _jpeg_block_values(mid, (w // 8) * (h // 8))
+                r = rows[(mid, 0)]
+                assert (r["n_values"], r["sum_values"]) == (
+                    w * h, int(blocks.sum()) * 64,
+                )
+                assert (r["min_value"], r["max_value"]) == (
+                    blocks.min(), blocks.max(),
+                )
+                continue
             arr = _image_pixels(mid, w * h * 3).astype(np.int64)
             for c in range(3):
                 ch = arr[c::3]
@@ -310,3 +326,118 @@ def test_png_roundtrip_and_filters():
         decode_image(bytes(bad), strict=True)
     # non-strict falls back to the digest contract
     assert decode_image(bytes(bad), strict=False)[0] == 0
+
+
+def test_jpeg_constant_blocks_bit_exact():
+    """Constant 8×8 blocks + unit quant table: the lossy codec's one
+    bit-exact shape (DC-only spectrum) — the property the decode hash
+    gate stands on."""
+    import numpy as np
+
+    from json_ld_spark.operators.jpeg import decode_gray, encode_gray
+
+    w, h = 40, 24
+    img = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                (by * (w // 8) + bx) * 13 + 7
+            ) % 256
+    enc = encode_gray(w, h, img.tobytes())
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    w2, h2, px = decode_gray(enc)
+    assert (w2, h2, px) == (w, h, img.tobytes())
+
+
+def test_jpeg_arbitrary_content_and_lossy_quant():
+    """Real content: unit quant keeps DCT rounding within ±1; a
+    coarse table actually quantizes (smaller stream, bounded error) —
+    i.e. the codec is genuinely lossy-capable, not a fixed-path toy."""
+    import numpy as np
+
+    from json_ld_spark.operators.jpeg import decode_gray, encode_gray
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    _, _, px = decode_gray(encode_gray(56, 40, img.tobytes()))
+    err = np.abs(
+        np.frombuffer(px, np.uint8).astype(int)
+        - img.reshape(-1).astype(int)
+    )
+    assert err.max() <= 2
+
+    fine = encode_gray(56, 40, img.tobytes())
+    coarse = encode_gray(56, 40, img.tobytes(), quant=[32] * 64)
+    assert len(coarse) < len(fine) / 2
+    _, _, px2 = decode_gray(coarse)
+    err2 = np.abs(
+        np.frombuffer(px2, np.uint8).astype(int)
+        - img.reshape(-1).astype(int)
+    )
+    assert err2.max() <= 64  # bounded by quant step + DCT spread
+
+
+def test_jpeg_non_multiple_of_8_crops():
+    import numpy as np
+
+    from json_ld_spark.operators.jpeg import decode_gray, encode_gray
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    w, h, px = decode_gray(encode_gray(21, 13, img.tobytes()))
+    assert (w, h) == (21, 13) and len(px) == 21 * 13
+
+
+def test_jpeg_rejects_unsupported_profiles():
+    import pytest as _pytest
+
+    from json_ld_spark.operators.jpeg import decode_gray, encode_gray
+
+    with _pytest.raises(ValueError):
+        decode_gray(b"not a jpeg")
+    # progressive SOF2 marker in an otherwise plausible stream
+    import struct
+
+    prog = (b"\xff\xd8" + struct.pack(">HH", 0xFFC2, 8)
+            + b"\x08\x00\x08\x00\x08\x01")
+    with _pytest.raises(ValueError):
+        decode_gray(prog)
+    with _pytest.raises(ValueError):
+        encode_gray(8, 8, b"\x00" * 63)  # wrong buffer size
+
+
+def test_jpeg_flows_through_decode_image_and_stats(spark):
+    """decode_image routes \\xff\\xd8 payloads to the JPEG decoder and
+    decode_stats emits a single part-0 row for grayscale pixels."""
+    import numpy as np
+
+    from json_ld_spark.operators.multimodal import (
+        decode_image,
+        decode_stats,
+        synthesize_decodable_media,
+    )
+
+    media = synthesize_decodable_media(spark, n=30)
+    jpegs = media.filter(F.col("meta.codec") == "jpeg-gray")
+    rows = jpegs.collect()
+    assert rows, "corpus must contain jpeg-gray images"
+    for r in rows:
+        w, h, px = decode_image(bytes(r["payload"]), strict=True)
+        assert (w, h) == (r["meta"]["width"], r["meta"]["height"])
+        assert len(px) == w * h
+        # every 8×8 block constant
+        arr = np.frombuffer(px, np.uint8).reshape(h, w)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blk = arr[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                assert (blk == blk[0, 0]).all()
+    stats = decode_stats(jpegs).collect()
+    assert {r["part"] for r in stats} == {0}
+    assert all(
+        r["n_values"]
+        == jrow["meta"]["width"] * jrow["meta"]["height"]
+        for r, jrow in zip(
+            sorted(stats, key=lambda x: x["media_id"]),
+            sorted(rows, key=lambda x: x["media_id"]),
+        )
+    )
