@@ -1228,6 +1228,71 @@ def q_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(_cooccurrence_edges(spark, sf_dir))
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.25, "src2": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sampler under the gate: per-source keep rates
+    (keep all of src0, a quarter of src1, a tenth of src2, 5% of the
+    rest) with the md5 cross-engine hash rule — the mixing-weights
+    step of corpus assembly, append-stable and partition-independent
+    like deterministic_sample. The oracle recomputes the hash bucket
+    AND the per-stratum threshold CASE, so a wrong rate lookup or a
+    stratum falling into the wrong default both fail the hash."""
+    from json_ld_spark.operators.corpus import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, _MIX_RATES, "source", "doc_id",
+        default_rate=_MIX_DEFAULT, hash_family="md5",
+    ).select("doc_id", "source")
+
+
+_DUPGRAM_N = 5
+
+
+def q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/Dolma duplicated-n-gram filter under the gate: per
+    document, the fraction of its word 5-gram occurrences whose gram
+    appears ≥2 times corpus-wide. Three keyed shuffles (gram count,
+    tagging join, per-doc fold), no forced broadcast of the unbounded
+    gram table; docs shorter than 5 words surface with 0.0."""
+    from json_ld_spark.operators.textstats import duplicated_ngram_fraction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_ngram_fraction(docs, n=_DUPGRAM_N, min_count=2)
+
+
+_INGEST_MOD = 5
+_INGEST_PLANT_OFF = 9_000_000
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup under the gate: the corpus is docs
+    with doc_id % 5 != 0; the incoming batch is the rest PLUS planted
+    re-sends of corpus documents (new ids, text differing only by a
+    trailing space — the whitespace-normalized fingerprint is
+    identical). dedup_against_corpus must keep exactly the genuinely
+    new rows and drop every planted re-send: a fingerprint that
+    ignores normalization, or an anti-join that drops new rows, fails
+    the hash."""
+    from json_ld_spark.operators.corpus import dedup_against_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % _INGEST_MOD != 0)
+    planted = corpus.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + _INGEST_PLANT_OFF).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ")).alias("text"),
+    )
+    new_batch = docs.filter(
+        F.col("doc_id") % _INGEST_MOD == 0
+    ).unionByName(planted)
+    return dedup_against_corpus(new_batch, corpus).select("doc_id")
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.operators.dedup import exact_dedup
 
@@ -1804,6 +1869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "entity_triangles": q_entity_triangles,
+        "domain_mix_sample": q_domain_mix_sample,
+        "dup_ngram_frac": q_dup_ngram_frac,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
         "chunk_documents": q_chunk_documents,
@@ -2642,6 +2710,72 @@ def oracle_sql() -> dict[str, str]:
         ),
         tv AS (SELECT unnest([a, x, y]) AS entity FROM closed)
         SELECT entity, count(*) AS n_triangles FROM tv GROUP BY 1
+        """
+    # domain-mix oracle: same md5 bucket as deterministic_sample plus
+    # the per-stratum threshold CASE
+    _mix_cases = " ".join(
+        f"WHEN '{s}' THEN {int(r * 1_000_000)}"
+        for s, r in sorted(_MIX_RATES.items())
+    )
+    d["domain_mix_sample"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE CAST(concat('0x', substring(
+                md5(concat(CAST(doc_id AS VARCHAR), '-7')), 1, 15))
+              AS BIGINT) % 1000000
+              < CASE source {_mix_cases}
+                ELSE {int(_MIX_DEFAULT * 1_000_000)} END
+        """
+    # duplicated-n-gram oracle: occurrences with multiplicity, corpus
+    # frequency, tag, fold — relational replay of the same counts
+    d["dup_ngram_frac"] = f"""
+        WITH w AS (
+          SELECT doc_id,
+                 CASE WHEN length({_norm_w}) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split({_norm_w}, ' ') END AS words
+          FROM documents
+        ),
+        occ AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(words) - {_DUPGRAM_N - 1}),
+                   i -> array_to_string(
+                     list_slice(words, i, i + {_DUPGRAM_N - 1}), ' ')))
+                   AS gram
+          FROM w WHERE len(words) >= {_DUPGRAM_N}
+        ),
+        freq AS (SELECT gram, count(*) AS f FROM occ GROUP BY 1),
+        per AS (
+          SELECT occ.doc_id, count(*) AS n_grams,
+                 CAST(sum(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup
+          FROM occ JOIN freq USING (gram) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_grams, 0) AS n_grams,
+               coalesce(per.n_dup, 0) AS n_dup_grams,
+               CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
+                    ELSE round(per.n_dup * 1.0 / per.n_grams, 6)
+                    END AS dup_ngram_frac
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """
+    # incremental-dedup oracle: normalized-fingerprint anti-join
+    _fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    _fp_nb = _fp.replace("(text", "(nb.text")
+    d["dedup_incremental"] = f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % {_INGEST_MOD} <> 0
+        ),
+        nb AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % {_INGEST_MOD} = 0
+          UNION ALL
+          SELECT doc_id + {_INGEST_PLANT_OFF}, text || ' '
+          FROM corpus WHERE doc_id % 10 = 1
+        ),
+        fpo AS (SELECT DISTINCT {_fp} AS fp FROM corpus)
+        SELECT nb.doc_id FROM nb
+        WHERE {_fp_nb} NOT IN (SELECT fp FROM fpo)
         """
     # canonicalization: merging the planted odd-turn variant IRIs back
     # is an identity on the entity-link triples; the merge map itself

@@ -145,6 +145,9 @@ def main() -> None:
         "repetition_stats",
         "decontaminate",
         "entity_triangles",
+        "domain_mix_sample",
+        "dup_ngram_frac",
+        "dedup_incremental",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

@@ -236,3 +236,78 @@ def deterministic_sample(
             F.lit(denom),
         )
     return df.filter(bucket < thresh)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: "dict[str, float]",
+    strata_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+    seed: int = 7,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixing step of
+    a training-data pipeline (keep 100% of books, 10% of common-crawl,
+    0% of spam), with the same partition-independent, append-stable
+    hash rule as ``deterministic_sample``: a row's fate depends only
+    on (key, seed), so re-running over a grown corpus never flips
+    previously-kept rows.
+
+    ``rates`` maps stratum value → keep fraction; unlisted strata
+    (and NULL) fall back to ``default_rate``. The rate lookup is a
+    literal CASE chain — strata vocabularies (domains, languages,
+    source tags) are small by construction, so this stays a pure JVM
+    row-expression: zero shuffle, zero join, full pushdown through
+    the parquet scan."""
+    denom = 1_000_000
+    if hash_family == "md5":
+        from json_ld_spark.operators.dedup import md5_hash60
+
+        bucket = F.pmod(
+            md5_hash60(F.concat(F.col(key_col).cast("string"),
+                                F.lit(f"-{seed}"))),
+            F.lit(denom),
+        )
+    else:
+        bucket = F.pmod(
+            F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)),
+            F.lit(denom),
+        )
+    thresh = F.lit(int(default_rate * denom))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * denom))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
+def dedup_against_corpus(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingestion dedup: rows of ``new_batch`` whose
+    normalized content fingerprint does NOT already exist in
+    ``corpus`` — the daily-ingest shape, where the new batch is small
+    against a huge accumulated corpus and re-deduping the whole
+    corpus per day would be quadratic over time.
+
+    Anti-join on the md5 content fingerprint (same normalization as
+    exact_dedup, so the two agree on what "same document" means).
+    Both sides shuffle on the fingerprint — at 100 TB the corpus side
+    should be a pre-bucketed fingerprint INDEX table (fingerprint
+    only, bucketed by fingerprint at write time), which this operator
+    reads as-is: pass ``corpus`` as that one-column table and the
+    exchange on the corpus side disappears. AQE further prunes with a
+    runtime bloom/DPP filter when the new batch is small."""
+    from json_ld_spark.operators.textstats import fingerprint_md5
+
+    fp_new = new_batch.withColumn("_fp", fingerprint_md5(F.col(text_col)))
+    cols = [c for c in corpus.columns if c == text_col]
+    fp_old = (
+        corpus.select(fingerprint_md5(F.col(text_col)).alias("_fp"))
+        if cols
+        else corpus.select(F.col(corpus.columns[0]).alias("_fp"))
+    ).distinct()
+    return fp_new.join(fp_old, "_fp", "left_anti").drop("_fp")

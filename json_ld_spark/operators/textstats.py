@@ -297,3 +297,69 @@ def repetition_stats(
         .otherwise(F.round(top_count / n_bigrams, 6))
         .alias("top_bigram_frac"),
     )
+
+
+def duplicated_ngram_fraction(
+    docs: DataFrame,
+    n: int = 13,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level duplicated-span signal (the RefinedWeb/Dolma
+    "fraction of duplicated n-grams" filter): for each document, the
+    fraction of its word n-gram OCCURRENCES whose gram appears at
+    least ``min_count`` times across the whole corpus. Boilerplate,
+    templated pages, and near-dup survivors score high; unique prose
+    scores ~0.
+
+    Unlike ``repetition_stats`` (within-document, zero shuffle) this
+    is inherently corpus-global: one explode keeps per-position
+    multiplicity, one groupBy counts gram frequency, one join tags
+    each occurrence, one groupBy folds back per document. All three
+    shuffles key on gram or doc id with partial aggregation — and the
+    gram-frequency side is UNBOUNDED (it grows with the corpus), so
+    like the TF-IDF dictionary it must not carry a forced broadcast;
+    the tagging join stays co-partitioned on gram and AQE broadcasts
+    only when the gram table is genuinely small.
+
+    Documents shorter than ``n`` words have no grams: they surface
+    with n_grams = 0 and fraction 0.0 (not dropped — the downstream
+    filter must see every document)."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                         "\\s+", " ")
+    )
+    words = F.when(F.length(norm) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(norm, " "))
+    staged = docs.select(F.col(id_col), words.alias("_w"))
+    grams_arr = F.when(
+        F.size("_w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = staged.select(id_col, F.explode(grams_arr).alias("gram"))
+    freq = occ.groupBy("gram").agg(F.count("*").alias("_freq"))
+    tagged = occ.join(freq, "gram").select(
+        id_col, (F.col("_freq") >= min_count).cast("int").alias("_dup")
+    )
+    per_doc = tagged.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum("_dup").alias("n_dup_grams"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+            F.when(F.coalesce(F.col("n_grams"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("n_dup_grams") / F.col("n_grams"), 6)
+            )
+            .alias("dup_ngram_frac"),
+        )
+    )

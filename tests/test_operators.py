@@ -890,3 +890,86 @@ def test_triangle_counts_direction_and_duplicates_ignored(spark):
         ).collect()
     }
     assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_stratified_sample_rates_and_stability(spark):
+    from json_ld_spark.operators.corpus import stratified_sample
+
+    rows = [(i, ("keep" if i % 3 == 0 else "drop" if i % 3 == 1 else "half"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    rates = {"keep": 1.0, "drop": 0.0, "half": 0.5}
+    kept = stratified_sample(df, rates, "src", "id").collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["src"], set()).add(r["id"])
+    assert len(by_src.get("keep", ())) == 1000     # rate 1.0 keeps all
+    assert "drop" not in by_src                    # rate 0.0 keeps none
+    frac = len(by_src.get("half", ())) / 1000
+    assert 0.4 < frac < 0.6                        # ~rate 0.5
+    # append-stability: the kept set is unchanged when the corpus grows
+    bigger = spark.createDataFrame(
+        rows + [(i, "half") for i in range(3000, 4000)], "id long, src string"
+    )
+    kept2 = {
+        r["id"] for r in stratified_sample(bigger, rates, "src", "id")
+        .filter(F.col("id") < 3000).collect()
+    }
+    assert kept2 == {r["id"] for r in kept}
+    # unlisted stratum uses the default rate
+    extra = spark.createDataFrame([(1, "new")], "id long, src string")
+    assert stratified_sample(extra, rates, "src", "id",
+                             default_rate=1.0).count() == 1
+    assert stratified_sample(extra, rates, "src", "id",
+                             default_rate=0.0).count() == 0
+
+
+def test_duplicated_ngram_fraction(spark):
+    from json_ld_spark.operators.textstats import duplicated_ngram_fraction
+
+    shared = "one two three four five"
+    rows = [
+        (1, shared + " alpha beta gamma"),
+        (2, shared + " delta epsilon zeta"),   # shares the 5-gram with 1
+        (3, "totally unique words here that repeat nowhere else at all"),
+        (4, "tiny"),                            # < n words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in duplicated_ngram_fraction(df, n=5).collect()}
+    # docs 1 and 2: 4 grams each, exactly 1 (the shared prefix) dup'd
+    for k in (1, 2):
+        assert got[k]["n_grams"] == 4
+        assert got[k]["n_dup_grams"] == 1
+        assert got[k]["dup_ngram_frac"] == pytest.approx(0.25)
+    assert got[3]["n_dup_grams"] == 0 and got[3]["dup_ngram_frac"] == 0.0
+    assert got[4] == {"doc_id": 4, "n_grams": 0, "n_dup_grams": 0,
+                      "dup_ngram_frac": 0.0}
+
+
+def test_dedup_against_corpus(spark):
+    from json_ld_spark.operators.corpus import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(1, "existing document body"), (2, "another old document")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "a genuinely new document"),
+            (11, "Existing   document body  "),  # normalized dup of 1
+            (12, "another old document"),        # exact dup of 2
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup_against_corpus(new, corpus).collect()}
+    assert kept == {10}
+    # fingerprint-index form: corpus passed as a 1-column fp table
+    from json_ld_spark.operators.textstats import fingerprint_md5
+
+    fp_index = corpus.select(fingerprint_md5(F.col("text")).alias("fp"))
+    kept2 = {
+        r["doc_id"]
+        for r in dedup_against_corpus(new, fp_index).collect()
+    }
+    assert kept2 == {10}
