@@ -1228,6 +1228,31 @@ def q_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(_cooccurrence_edges(spark, sf_dir))
 
 
+_KHOP_SEEDS = 3
+_KHOP_K = 2
+
+
+def q_entity_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop neighborhood query over the constructed KG (the SPARQL
+    property-path read shape): minimal-distance BFS from the 3
+    lexicographically-smallest entities, 2 hops. The oracle
+    recomputes frontier expansion round-for-round (n1, then n2-
+    candidates EXCEPT visited), so a BFS that re-visits, misses the
+    anti-join, or reports a non-minimal distance fails the hash."""
+    from json_ld_spark.operators.graph import khop_neighbors
+
+    edges = _cooccurrence_edges(spark, sf_dir)
+    entities = (
+        edges.select(F.col("src").alias("e"))
+        .unionByName(edges.select(F.col("dst").alias("e")))
+        .distinct()
+    )
+    seeds = entities.orderBy("e").limit(_KHOP_SEEDS)
+    return khop_neighbors(edges, seeds, k=_KHOP_K).select(
+        "seed", F.col("node").alias("entity"), "dist"
+    )
+
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.25, "src2": 0.1}
 _MIX_DEFAULT = 0.05
 
@@ -1869,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "entity_triangles": q_entity_triangles,
+        "entity_khop": q_entity_khop,
         "domain_mix_sample": q_domain_mix_sample,
         "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_incremental": q_dedup_incremental,
@@ -2510,9 +2536,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM tx),
         bucketed AS (
-          SELECT TIMESTAMP '1970-01-01 00:00:00'
-                   + CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
-                     * INTERVAL 1 SECOND AS window_start,
+          SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300
+                                      AS BIGINT) * 1000000)
+                   AS window_start,
                  role
           FROM tx
         )
@@ -2710,6 +2736,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         tv AS (SELECT unnest([a, x, y]) AS entity FROM closed)
         SELECT entity, count(*) AS n_triangles FROM tv GROUP BY 1
+        """
+    # k-hop oracle: frontier expansion replayed round-for-round
+    d["entity_khop"] = _MENTION_CTE + f"""
+        , e0 AS (
+          SELECT DISTINCT ma.iri AS s, mb.iri AS t
+          FROM m ma JOIN m mb
+            ON ma.conv_id = mb.conv_id AND ma.turn_idx = mb.turn_idx
+           AND ma.iri <> mb.iri
+        ),
+        seeds AS (
+          SELECT s AS seed FROM (SELECT DISTINCT s FROM e0)
+          ORDER BY s LIMIT {_KHOP_SEEDS}
+        ),
+        n1 AS (
+          SELECT DISTINCT seeds.seed, e0.t AS node
+          FROM seeds JOIN e0 ON e0.s = seeds.seed
+          WHERE e0.t <> seeds.seed
+        ),
+        n2 AS (
+          SELECT DISTINCT n1.seed, e0.t AS node
+          FROM n1 JOIN e0 ON e0.s = n1.node
+          EXCEPT SELECT seed, node FROM n1
+          EXCEPT SELECT seed, seed FROM seeds
+        )
+        SELECT seed, node AS entity, 1 AS dist FROM n1
+        UNION ALL
+        SELECT seed, node AS entity, 2 AS dist FROM n2
         """
     # domain-mix oracle: same md5 bucket as deterministic_sample plus
     # the per-stratum threshold CASE

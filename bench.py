@@ -145,6 +145,7 @@ def main() -> None:
         "repetition_stats",
         "decontaminate",
         "entity_triangles",
+        "entity_khop",
         "domain_mix_sample",
         "dup_ngram_frac",
         "dedup_incremental",

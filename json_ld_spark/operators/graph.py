@@ -193,3 +193,55 @@ def triangle_counts(
         .groupBy("entity")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def khop_neighbors(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """(seed, entity, dist): every node within ``k`` undirected hops
+    of each seed, at its MINIMAL distance — the neighborhood/
+    property-path read query over the constructed KG (SPARQL's
+    ``e (:rel)\\{1,k\\} ?x`` shape re-expressed as iterative joins).
+
+    BFS by frontier expansion: round d joins the previous frontier
+    against the edge table and anti-joins everything already visited,
+    so each (seed, node) pair is emitted exactly once at its first
+    (minimal) distance — the anti-join is what keeps the frontier
+    from re-expanding the whole visited set (the difference between
+    O(k·|E|) and exponential blowup on cyclic graphs). Rounds are
+    lineage-cut like every iterative operator here; all joins key on
+    node ids, seeds ride along as a payload column, so skew follows
+    the graph's degree distribution (hub nodes → the same salting
+    story as the co-occurrence builder)."""
+    scol = seeds.columns[0]
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .filter(F.col("s") != F.col("t"))
+        .dropDuplicates()
+    )
+    sym = cut_lineage(sym, checkpoint_dir)
+    frontier = seeds.select(
+        F.col(scol).alias("seed"),
+        F.col(scol).alias("node"),
+        F.lit(0).alias("dist"),
+    )
+    visited = frontier
+    for d in range(1, k + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.s)
+            .select("seed", F.col("t").alias("node"))
+            .dropDuplicates()
+            .join(visited.select("seed", "node"), ["seed", "node"],
+                  "left_anti")
+            .withColumn("dist", F.lit(d))
+        )
+        nxt = cut_lineage(nxt, checkpoint_dir, eager=False)
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.filter(F.col("dist") > 0)

@@ -973,3 +973,40 @@ def test_dedup_against_corpus(spark):
         for r in dedup_against_corpus(new, fp_index).collect()
     }
     assert kept2 == {10}
+
+def test_khop_minimal_distance_on_cycle(spark):
+    from json_ld_spark.operators.graph import khop_neighbors
+
+    # 5-cycle a-b-c-d-e-a, seed {a}, k=3: BFS must report each node at
+    # its MINIMAL undirected distance (b,e at 1; c,d at 2) and must NOT
+    # re-emit a node at a larger hop (the anti-join's whole job) —
+    # a naive k-step path expansion reports c also at dist 3 via a-e-d-c.
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "a")]
+    edges = spark.createDataFrame(cyc, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "e string")
+    got = {
+        (r["seed"], r["node"]): r["dist"]
+        for r in khop_neighbors(edges, seeds, k=3).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("a", "e"): 1,
+        ("a", "c"): 2, ("a", "d"): 2,
+    }
+
+
+def test_khop_multi_seed_disconnected(spark):
+    from json_ld_spark.operators.graph import khop_neighbors
+
+    # two components; each seed only reaches its own component, seeds
+    # never appear as their own neighbors, direction is ignored
+    e = [("a", "b"), ("b", "c"), ("x", "y")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("y",)], "e string")
+    got = {
+        (r["seed"], r["node"]): r["dist"]
+        for r in khop_neighbors(edges, seeds, k=2).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("a", "c"): 2,
+        ("y", "x"): 1,
+    }
