@@ -1253,6 +1253,42 @@ def q_entity_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-weighted co-mention edges — the KG edge-scoring step that
+    turns raw co-occurrence counts into association strength. N (total
+    turns) is a counted recipe parameter (PageRank-N policy); the
+    oracle recomputes marginals, pair counts, and the 6-dp-rounded
+    log ratio, so a miscounted marginal or a double-counted repeated
+    mention fails the hash."""
+    from json_ld_spark.operators.graph import pmi_edge_weights
+
+    t = _triples(spark, sf_dir)
+    m = t.filter(F.col("pred") == VOCAB + "of").select(
+        "conv_id", "turn_idx", F.col("obj_value").alias("entity")
+    )
+    n_turns = (
+        _derived(spark, sf_dir).select("conv_id", "turn_idx").distinct().count()
+    )  # 1-row recipe parameter (N), same policy as PageRank's N
+    return pmi_edge_weights(m, n_events=n_turns)
+
+
+_LPA_ITERS = 3
+
+
+def q_entity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the co-mention graph: 3 rounds of
+    synchronous max-count/min-label propagation (operators/graph.py)
+    — every round is replayed CTE-for-CTE by the oracle (join, vote
+    count, argmax with the count-desc/label-asc tie order), so an
+    async shortcut, a missed tie rule, or a round short-circuited by
+    convergence testing all fail the hash."""
+    from json_ld_spark.operators.graph import label_propagation
+
+    return label_propagation(
+        _cooccurrence_edges(spark, sf_dir), n_iters=_LPA_ITERS
+    ).select(F.col("node").alias("entity"), F.col("label").alias("community"))
+
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.25, "src2": 0.1}
 _MIX_DEFAULT = 0.05
 
@@ -1895,6 +1931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "entity_triangles": q_entity_triangles,
         "entity_khop": q_entity_khop,
+        "entity_pmi": q_entity_pmi,
+        "entity_communities": q_entity_communities,
         "domain_mix_sample": q_domain_mix_sample,
         "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_incremental": q_dedup_incremental,
@@ -2763,6 +2801,60 @@ def oracle_sql() -> dict[str, str]:
         SELECT seed, node AS entity, 1 AS dist FROM n1
         UNION ALL
         SELECT seed, node AS entity, 2 AS dist FROM n2
+        """
+    # PMI oracle: marginals + pair counts over distinct (turn, entity)
+    # mention events, N = total turns, 6-dp-rounded log ratio
+    d["entity_pmi"] = _MENTION_CTE + """
+        , nn AS (SELECT count(*) AS n
+                 FROM (SELECT DISTINCT conv_id, turn_idx FROM t)),
+        me AS (SELECT DISTINCT conv_id, turn_idx, iri FROM m),
+        marg AS (SELECT iri, count(*) AS c FROM me GROUP BY 1),
+        pairs AS (
+          SELECT a.iri AS src, b2.iri AS dst, count(*) AS n_cooccur
+          FROM me a JOIN me b2
+            ON a.conv_id = b2.conv_id AND a.turn_idx = b2.turn_idx
+           AND a.iri < b2.iri
+          GROUP BY 1, 2
+        )
+        SELECT p.src, p.dst, p.n_cooccur,
+               round(ln(p.n_cooccur * CAST(nn.n AS DOUBLE)
+                        / (ma.c * mb.c)), 6) AS pmi
+        FROM pairs p
+        CROSS JOIN nn
+        JOIN marg ma ON ma.iri = p.src
+        JOIN marg mb ON mb.iri = p.dst
+        """
+    # LPA oracle: init + every synchronous round replayed — vote
+    # count over the symmetrized edges, argmax by (count desc, label
+    # asc) via row_number — exactly the operator's recipe
+    _lpa_round = """
+        l{K} AS (
+          SELECT node, label FROM (
+            SELECT e.s AS node, l{P}.label,
+                   count(*) AS n,
+                   row_number() OVER (PARTITION BY e.s
+                                      ORDER BY count(*) DESC, l{P}.label)
+                     AS rk
+            FROM sym e JOIN l{P} ON l{P}.node = e.t
+            GROUP BY e.s, l{P}.label
+          ) WHERE rk = 1
+        )"""
+    d["entity_communities"] = _MENTION_CTE + """
+        , e0 AS (
+          SELECT DISTINCT a.iri AS src, b2.iri AS dst
+          FROM m a JOIN m b2
+            ON a.conv_id = b2.conv_id AND a.turn_idx = b2.turn_idx
+           AND a.iri < b2.iri
+        ),
+        sym AS (
+          SELECT src AS s, dst AS t FROM e0
+          UNION SELECT dst, src FROM e0
+        ),
+        l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym),
+        """ + ",".join(
+        _lpa_round.format(K=k, P=k - 1) for k in range(1, _LPA_ITERS + 1)
+    ) + f"""
+        SELECT node AS entity, label AS community FROM l{_LPA_ITERS}
         """
     # domain-mix oracle: same md5 bucket as deterministic_sample plus
     # the per-stratum threshold CASE

@@ -146,6 +146,8 @@ def main() -> None:
         "decontaminate",
         "entity_triangles",
         "entity_khop",
+        "entity_pmi",
+        "entity_communities",
         "domain_mix_sample",
         "dup_ngram_frac",
         "dedup_incremental",

@@ -245,3 +245,116 @@ def khop_neighbors(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.filter(F.col("dist") > 0)
+
+
+def pmi_edge_weights(
+    mentions: DataFrame,
+    n_events: int,
+    event_cols: "tuple[str, str]" = ("conv_id", "turn_idx"),
+    entity_col: str = "entity",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(src, dst, n_cooccur, pmi): pointwise mutual information over
+    co-mention events — the KG edge-weighting step that separates
+    informative entity pairs from pairs that co-occur only because
+    both are frequent (raw co-occurrence counts rank hub pairs first;
+    PMI normalizes by marginal frequency).
+
+    pmi(a,b) = round(ln(c(a,b)·N / (c(a)·c(b))), dp) with c(x) =
+    number of distinct events mentioning x and N = ``n_events`` — a
+    RECIPE PARAMETER (the caller counts total events once, the same
+    scalar-parameter policy as PageRank's N), so the computation
+    stays a pure dataflow any SQL engine replays bit-for-bit.
+
+    Scale design: marginals are one groupBy over the mention table;
+    the pair table joins each endpoint's marginal on the entity id —
+    entity vocabularies are large at web scale, so both joins stay
+    keyed shuffles (no forced broadcast; AQE broadcasts small
+    gazetteers at runtime). All counts are DISTINCT events via a
+    dropDuplicates on (event, entity) BEFORE counting, so repeated
+    mentions inside one turn don't inflate the statistics."""
+    ec = list(event_cols)
+    m = mentions.select(*ec, F.col(entity_col).alias("e")).dropDuplicates()
+    marg = m.groupBy("e").agg(F.count("*").alias("_c"))
+    a, b = m.alias("a"), m.alias("b")
+    cond = (F.col(f"a.{ec[0]}") == F.col(f"b.{ec[0]}"))
+    for c in ec[1:]:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    pairs = (
+        a.join(b, cond & (F.col("a.e") < F.col("b.e")))
+        .groupBy(F.col("a.e").alias("src"), F.col("b.e").alias("dst"))
+        .agg(F.count("*").alias("n_cooccur"))
+    )
+    return (
+        pairs.join(marg.withColumnRenamed("e", "src"), "src")
+        .withColumnRenamed("_c", "_ca")
+        .join(marg.withColumnRenamed("e", "dst"), "dst")
+        .withColumnRenamed("_c", "_cb")
+        .select(
+            "src", "dst", "n_cooccur",
+            F.round(
+                F.log(
+                    F.col("n_cooccur") * F.lit(float(n_events))
+                    / (F.col("_ca") * F.col("_cb"))
+                ),
+                round_dp,
+            ).alias("pmi"),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 3,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """(node, label) after ``n_iters`` rounds of SYNCHRONOUS label
+    propagation — community detection over the entity graph, with the
+    fixed-iteration deterministic recipe this repo uses for every
+    iterative operator (PageRank, IVF training): no RNG, no
+    convergence test, total tie order, so a SQL engine can replay
+    every round and the driver can hash-gate the result.
+
+    label_0(v) = v; round k+1 assigns each node the label carried by
+    the MOST of its neighbors at round k, ties broken by the SMALLEST
+    label (the max-count/min-label rule — without a total tie order,
+    synchronous LPA is nondeterministic and ungateable). Isolated
+    nodes keep their own label. Unlike connected components this
+    converges to dense clusters, not reachability classes: a bridge
+    edge between two dense communities cannot outvote either side.
+
+    Scale design: each round is one join (edges × labels, keyed on
+    the node id) + one count groupBy + one argmin-by-(count desc,
+    label asc) via max_by over an orderable struct — two shuffles per
+    round over |E| and |V|-sized tables, same as a PageRank round.
+    Synchronous rounds (not the async single-pass variant) are what
+    make the result partitioning-independent: every round reads ONLY
+    the previous round's labels, so executor scheduling can't change
+    the outcome. Rounds are lineage-cut."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .filter(F.col("s") != F.col("t"))
+        .dropDuplicates()
+    )
+    sym = cut_lineage(sym, checkpoint_dir)
+    nodes = sym.select(F.col("s").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(n_iters):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "t"), "t")
+            .groupBy(F.col("s").alias("node"), "label")
+            .agg(F.count("*").alias("_n"))
+        )
+        # argmax by (count desc, label asc) without a window: min_by
+        # on the orderable struct(-count, label) — one aggregate, no
+        # per-node sort
+        labels = votes.groupBy("node").agg(
+            F.min_by(
+                "label", F.struct((-F.col("_n")).alias("a"), F.col("label").alias("b"))
+            ).alias("label")
+        )
+        labels = cut_lineage(labels, checkpoint_dir, eager=False)
+    return labels

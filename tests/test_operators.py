@@ -1010,3 +1010,40 @@ def test_khop_multi_seed_disconnected(spark):
         ("a", "b"): 1, ("a", "c"): 2,
         ("y", "x"): 1,
     }
+
+def test_label_propagation_two_communities(spark):
+    from json_ld_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge: LPA must keep the two
+    # dense clusters separate (CC would merge them via the bridge)
+    e = [("a", "b"), ("b", "c"), ("a", "c"),
+         ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, n_iters=3).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "c", "e": "c", "f": "c"}
+    # determinism: same input, same labels
+    again = {r["node"]: r["label"]
+             for r in label_propagation(df, n_iters=3).collect()}
+    assert got == again
+
+
+def test_pmi_edge_weights_hand_computed(spark):
+    import math
+
+    from json_ld_spark.operators.graph import pmi_edge_weights
+
+    # events: {x,y} {x,y} {x,z} {w}  (N=4; repeated mention of x in
+    # one turn must NOT inflate the marginal)
+    m = [("c1", 0, "x"), ("c1", 0, "x"), ("c1", 0, "y"),
+         ("c1", 1, "x"), ("c1", 1, "y"),
+         ("c2", 0, "x"), ("c2", 0, "z"), ("c3", 0, "w")]
+    md = spark.createDataFrame(m, "conv_id string, turn_idx int, entity string")
+    got = {(r["src"], r["dst"]): (r["n_cooccur"], r["pmi"])
+           for r in pmi_edge_weights(md, n_events=4).collect()}
+    # c(x)=3 c(y)=2 c(z)=1; pmi(x,y)=ln(2*4/(3*2)), pmi(x,z)=ln(1*4/(3*1))
+    assert got == {
+        ("x", "y"): (2, round(math.log(8 / 6), 6)),
+        ("x", "z"): (1, round(math.log(4 / 3), 6)),
+    }
