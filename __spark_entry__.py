@@ -496,6 +496,20 @@ def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# revenue term in EXACT decimal: a double sum's value depends on
+# partition/accumulation order, and once a group's true sum sits close
+# enough to a 2-dp rounding boundary the two engines land on opposite
+# sides (first seen at the sf1 sweep: …941.395 → .39 vs .40). Decimal
+# sums are order-independent, so round-then-cast is bit-stable.
+def _rev_sum():
+    # built lazily: Column construction needs an active SparkContext
+    term = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    return F.round(F.sum(term), 2).cast("double")
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -507,9 +521,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _rev_sum().alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -535,11 +547,7 @@ def q_top_suppliers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy("n_name", "s_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_rev_sum().alias("revenue"))
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.col("s_name"))
     return (
@@ -1289,6 +1297,56 @@ def q_entity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").alias("entity"), F.col("label").alias("community"))
 
 
+def q_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter under the gate: per-document
+    mean log-prob under an add-one-smoothed bigram LM trained on the
+    corpus itself. V (distinct corpus tokens) is a counted recipe
+    parameter; the oracle retrains the model (bigram + context counts)
+    and rescoring relationally, so a wrong smoothing denominator, a
+    raw-unigram context count, or a dropped short document fails."""
+    from json_ld_spark.operators.textstats import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                         "\\s+", " ")
+    )
+    vocab = (
+        docs.select(norm.alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select(F.explode(F.split(F.col("_t"), " ")).alias("w"))
+        .distinct()
+        .count()
+    )  # 1-row recipe parameter (V), same policy as PageRank's N
+    return bigram_lm_scores(docs, vocab_size=vocab)
+
+
+_SPLIT_PLANT_MOD = 13
+_SPLIT_PLANT_OFF = 10**9
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-guarded train/val/test split under the gate. Every
+    13th document is re-planted under a shifted id with IDENTICAL
+    text, so a deterministic fraction of planted copies lands in
+    train while their source sits in val/test — real cross-split
+    contamination the guard must drop (without the plant the anti-
+    join is vacuous at small sf). The oracle replays the md5 bucket
+    thresholds, the fingerprint, and the anti-join; val/test rows
+    must pass through untouched."""
+    from json_ld_spark.operators.corpus import leakage_safe_splits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.col("doc_id") % _SPLIT_PLANT_MOD == 0).select(
+        (F.col("doc_id") + _SPLIT_PLANT_OFF).alias("doc_id"), "text"
+    )
+    return leakage_safe_splits(
+        docs.unionByName(planted), hash_family="md5"
+    )
+
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.25, "src2": 0.1}
 _MIX_DEFAULT = 0.05
 
@@ -1933,6 +1991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_khop": q_entity_khop,
         "entity_pmi": q_entity_pmi,
         "entity_communities": q_entity_communities,
+        "lm_quality_scores": q_lm_quality_scores,
+        "train_val_split": q_train_val_split,
         "domain_mix_sample": q_domain_mix_sample,
         "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_incremental": q_dedup_incremental,
@@ -2305,7 +2365,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_nation": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * CAST(1 - l_discount AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS revenue,
                count(*) AS n_lines
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -2361,7 +2423,9 @@ def oracle_sql() -> dict[str, str]:
         "top_suppliers_window": """
         WITH rev AS (
           SELECT n_name, s_name,
-                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                 CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                * CAST(1 - l_discount AS DECIMAL(18,4))), 2)
+                      AS DOUBLE) AS revenue
           FROM lineitem
           JOIN supplier ON l_suppkey = s_suppkey
           JOIN nation ON s_nationkey = n_nationkey
@@ -2855,6 +2919,75 @@ def oracle_sql() -> dict[str, str]:
         _lpa_round.format(K=k, P=k - 1) for k in range(1, _LPA_ITERS + 1)
     ) + f"""
         SELECT node AS entity, label AS community FROM l{_LPA_ITERS}
+        """
+    # bigram-LM oracle: retrain the model (bigram counts, context
+    # counts, distinct-token V) and rescore relationally
+    _norm_lm = (
+        "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+    )
+    d["lm_quality_scores"] = f"""
+        WITH t AS (SELECT doc_id, {_norm_lm} AS tt FROM documents),
+        tok AS (
+          SELECT doc_id, string_split(tt, ' ') AS tk
+          FROM t WHERE length(tt) > 0
+        ),
+        vv AS (SELECT count(DISTINCT w) AS v
+               FROM (SELECT unnest(tk) AS w FROM tok)),
+        occ AS (
+          SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+          FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, len(tk)),
+                     i -> struct_pack(w1 := tk[i], w2 := tk[i + 1])
+                   )) AS bg
+            FROM tok WHERE len(tk) >= 2
+          )
+        ),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
+        sc AS (
+          SELECT occ.doc_id, count(*) AS n_bigrams,
+                 avg(ln((c2.c2 + 1.0) / (c1.c1 + vv.v))) AS s
+          FROM occ
+          JOIN c2 ON c2.w1 = occ.w1 AND c2.w2 = occ.w2
+          JOIN c1 ON c1.w1 = occ.w1
+          CROSS JOIN vv
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(sc.n_bigrams, 0) AS n_bigrams,
+               round(coalesce(sc.s, 0.0), 6) AS lm_score
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        """
+    # split oracle: md5 bucket thresholds + fingerprint anti-join on
+    # the planted-leakage corpus
+    _fp_s = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    d["train_val_split"] = f"""
+        WITH d0 AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {_SPLIT_PLANT_OFF}, text FROM documents
+          WHERE doc_id % {_SPLIT_PLANT_MOD} = 0
+        ),
+        s AS (
+          SELECT doc_id, text,
+                 CASE WHEN bucket < 800000 THEN 'train'
+                      WHEN bucket < 900000 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT *, CAST(concat('0x', substring(
+                     md5(concat(CAST(doc_id AS VARCHAR), '-7')), 1, 15))
+                   AS BIGINT) % 1000000 AS bucket
+            FROM d0
+          )
+        ),
+        f AS (SELECT doc_id, split, {_fp_s} AS fp FROM s),
+        ev AS (SELECT DISTINCT fp FROM f WHERE split <> 'train')
+        SELECT doc_id, split FROM f WHERE split <> 'train'
+        UNION ALL
+        SELECT doc_id, split FROM f
+        WHERE split = 'train' AND fp NOT IN (SELECT fp FROM ev)
         """
     # domain-mix oracle: same md5 bucket as deterministic_sample plus
     # the per-stratum threshold CASE

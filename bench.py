@@ -148,6 +148,8 @@ def main() -> None:
         "entity_khop",
         "entity_pmi",
         "entity_communities",
+        "lm_quality_scores",
+        "train_val_split",
         "domain_mix_sample",
         "dup_ngram_frac",
         "dedup_incremental",

@@ -311,3 +311,88 @@ def dedup_against_corpus(
         else corpus.select(F.col(corpus.columns[0]).alias("_fp"))
     ).distinct()
     return fp_new.join(fp_old, "_fp", "left_anti").drop("_fp")
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    weights: "list[tuple[str, float]]" = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1)
+    ),
+    seed: int = 7,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """``df`` plus a ``split`` column: deterministic train/val/test
+    assignment by hash bucket — partition-independent and append-
+    stable (a row's split depends only on its key and the seed, so a
+    grown corpus never migrates old rows across splits, which would
+    silently leak yesterday's training data into today's eval set).
+
+    ``weights`` are (name, fraction) in priority order over the same
+    1e-6-grained bucket space as ``deterministic_sample``; md5 family
+    for oracle replay, xxhash64 for production. Pure JVM row
+    expression — zero shuffle, full pushdown."""
+    denom = 1_000_000
+    if hash_family == "md5":
+        from json_ld_spark.operators.dedup import md5_hash60
+
+        bucket = F.pmod(
+            md5_hash60(F.concat(F.col(key_col).cast("string"),
+                                F.lit(f"-{seed}"))),
+            F.lit(denom),
+        )
+    else:
+        bucket = F.pmod(
+            F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)),
+            F.lit(denom),
+        )
+    expr = F.lit(weights[-1][0])
+    acc = 0
+    cuts = []
+    for name, frac in weights[:-1]:
+        acc += int(frac * denom)
+        cuts.append((name, acc))
+    for name, cut in reversed(cuts):
+        expr = F.when(bucket < cut, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(key, split) for every document, with TRAIN rows whose
+    normalized content fingerprint also appears in val or test
+    DROPPED — the eval-leakage guard a training pipeline runs after
+    split assignment: hash-splitting assigns by KEY, but near-
+    identical content under different keys (mirrors, reposts,
+    boilerplate) still straddles the split boundary, and any train
+    document whose content sits in the eval set inflates every
+    downstream benchmark.
+
+    One fingerprint projection, one distinct on the small eval side,
+    one anti-join keyed on the fingerprint (same normalization as
+    exact dedup, so "same document" means the same thing pipeline-
+    wide). The eval fingerprint side is a FRACTION of the corpus
+    (val+test ≈ 20%), but still corpus-scaled — no forced broadcast;
+    AQE decides. Val/test rows pass through untouched: the guard
+    removes training contamination, never evaluation rows."""
+    from json_ld_spark.operators.textstats import fingerprint_md5
+
+    s = assign_splits(docs, key_col, seed=seed, hash_family=hash_family)
+    fp = s.select(
+        F.col(key_col), "split", fingerprint_md5(F.col(text_col)).alias("_fp")
+    )
+    eval_fps = (
+        fp.filter(F.col("split") != "train").select("_fp").distinct()
+    )
+    train = fp.filter(F.col("split") == "train").join(
+        eval_fps, "_fp", "left_anti"
+    )
+    return (
+        train.unionByName(fp.filter(F.col("split") != "train"))
+        .select(key_col, "split")
+    )

@@ -363,3 +363,82 @@ def duplicated_ngram_fraction(
             .alias("dup_ngram_frac"),
         )
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(id, n_bigrams, lm_score): per-document mean log-probability
+    under an add-one-smoothed bigram language model TRAINED ON THE
+    CORPUS ITSELF — the perplexity-style quality filter of a training
+    pipeline (template spam and keyword-stuffed pages score far below
+    prose, because their bigrams are either wildly over-represented
+    or never seen in normal context).
+
+    score(d) = round(mean over d's bigrams of
+                     ln((c(w1,w2) + 1) / (c(w1) + V)), dp)
+    with c(·) corpus-wide counts, c(w1) the count of w1 AS A BIGRAM
+    CONTEXT (not raw unigram frequency — the standard conditional
+    estimate), and V = ``vocab_size`` a RECIPE PARAMETER the caller
+    counts once (distinct corpus tokens; same scalar-parameter policy
+    as PageRank's N). Documents with <2 tokens surface with
+    n_bigrams = 0 and score 0.0 — never dropped, the downstream
+    filter must see every document.
+
+    Scale design: one explode keeps per-position bigram multiplicity;
+    model training is one groupBy on the bigram (partial aggregation)
+    plus one on the context; scoring re-joins occurrences to both
+    count tables keyed on bigram/context and folds back per document.
+    Both model tables are UNBOUNDED (they grow with the corpus), so —
+    like the TF-IDF dictionary — neither carries a forced broadcast;
+    the occurrence table is already partitioned on the join keys by
+    its own groupBys and AQE broadcasts only genuinely small models.
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                         "\\s+", " ")
+    )
+    words = F.when(F.length(norm) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(norm, " "))
+    staged = docs.select(F.col(id_col), words.alias("_w"))
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_w"), i).alias("w1"),
+                F.element_at(F.col("_w"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    occ = staged.select(
+        id_col, F.explode(bigrams).alias("_bg")
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    c2 = occ.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
+    c1 = occ.groupBy("w1").agg(F.count("*").alias("_c1"))
+    scored = (
+        occ.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(
+                F.log((F.col("_c2") + 1.0)
+                      / (F.col("_c1") + F.lit(float(vocab_size))))
+            ).alias("_s"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(F.coalesce(F.col("_s"), F.lit(0.0)), round_dp)
+            .alias("lm_score"),
+        )
+    )

@@ -1047,3 +1047,79 @@ def test_pmi_edge_weights_hand_computed(spark):
         ("x", "y"): (2, round(math.log(8 / 6), 6)),
         ("x", "z"): (1, round(math.log(4 / 3), 6)),
     }
+
+def test_bigram_lm_scores_hand_computed(spark):
+    import math
+
+    from json_ld_spark.operators.textstats import bigram_lm_scores
+
+    # corpus: "a b a b", "a b", "x" (no bigram), "" (empty)
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    # V=3 (a,b,x); bigrams: d1=(a,b),(b,a),(a,b) d2=(a,b)
+    # c2(a,b)=3 c2(b,a)=1; c1(a)=3 c1(b)=1
+    got = {r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+           for r in bigram_lm_scores(docs, vocab_size=3).collect()}
+    p_ab = math.log((3 + 1) / (3 + 3))
+    p_ba = math.log((1 + 1) / (1 + 3))
+    assert got[1] == (3, round((2 * p_ab + p_ba) / 3, 6))
+    assert got[2] == (1, round(p_ab, 6))
+    # short/empty docs surface with 0 bigrams and 0.0, never dropped
+    assert got[3] == (0, 0.0)
+    assert got[4] == (0, 0.0)
+
+
+def test_assign_splits_stable_and_partition_independent(spark):
+    from json_ld_spark.operators.corpus import assign_splits
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = {r["k"]: r["split"] for r in assign_splits(df, "k").collect()}
+    # append stability: the same keys inside a bigger table keep their split
+    s2 = {
+        r["k"]: r["split"]
+        for r in assign_splits(
+            spark.range(0, 4000).repartition(13).withColumnRenamed("id", "k"),
+            "k",
+        ).collect()
+    }
+    assert all(s2[k] == v for k, v in s1.items())
+    # all three splits non-empty at rough proportions
+    from collections import Counter
+    c = Counter(s1.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_leakage_safe_splits_drops_contaminated_train(spark):
+    from json_ld_spark.operators.corpus import (
+        assign_splits,
+        leakage_safe_splits,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    base = {r["doc_id"]: r["split"]
+            for r in assign_splits(docs, "doc_id").collect()}
+    an_eval = next(k for k, v in base.items() if v != "train")
+    a_train = next(k for k, v in base.items() if v == "train")
+    # plant: a TRAIN doc carrying an eval doc's exact content (modulo
+    # whitespace/case — the fingerprint normalization must catch it)
+    leaky_id = next(
+        k for k in range(1000, 3000)
+        if assign_splits(
+            spark.createDataFrame([(k,)], "doc_id long"), "doc_id"
+        ).first()["split"] == "train"
+    )
+    planted = spark.createDataFrame(
+        [(leaky_id, f"  UNIQUE   text {an_eval} ")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["split"]
+           for r in leakage_safe_splits(docs.unionByName(planted),
+                                        "doc_id").collect()}
+    assert leaky_id not in out          # contaminated train row dropped
+    assert out[an_eval] == base[an_eval]  # eval rows pass through
+    assert out[a_train] == "train"       # clean train rows survive
