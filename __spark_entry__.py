@@ -850,9 +850,10 @@ _DECODE_EVERY_N = 5
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL codec under the gate: payloads are actual PPM / WAV-PCM16 /
-    ppm-seq containers (synthesize_decodable_media), decoded with the
-    stdlib codecs in strict mode, and the emitted per-channel /
+    """REAL codec under the gate: payloads are actual PNG / PPM /
+    baseline JPEG (grayscale, 4:4:4, 4:2:0) / WAV-PCM16 / ppm-seq
+    containers (synthesize_decodable_media), decoded with the
+    stdlib+numpy codecs in strict mode, and the emitted per-channel /
     per-frame / per-stream integer statistics are recomputed by the
     DuckDB oracle from the closed-form content function — a corrupt
     encoder, a misparsed header, or an off-by-one in frame sampling
@@ -2661,12 +2662,77 @@ def oracle_sql() -> dict[str, str]:
         img AS (
           SELECT id AS media_id,
                  (id % 8) * 8 + 8 AS w, (id % 4) * 8 + 8 AS h
-          FROM m WHERE id % 3 = 0 AND (id // 3) % 3 <> 2
+          FROM m WHERE id % 3 = 0 AND (id // 3) % 5 IN (0, 1)
         ),
         jimg AS (
           SELECT id AS media_id,
                  (id % 8) * 8 + 8 AS w, (id % 4) * 8 + 8 AS h
-          FROM m WHERE id % 3 = 0 AND (id // 3) % 3 = 2
+          FROM m WHERE id % 3 = 0 AND (id // 3) % 5 = 2
+        ),
+        -- color JPEG (4:4:4 side=8, 4:2:0 side=16): constant
+        -- side×side blocks; decoded pixel = the scaled-integer JFIF
+        -- YCbCr round trip of the closed-form block RGB, replayed
+        -- here with the same exact int arithmetic (operators/jpeg.py)
+        jcimg AS (
+          SELECT id AS media_id,
+                 (id % 8) * 8 + 8 AS w, (id % 4) * 8 + 8 AS h,
+                 CASE WHEN (id // 3) % 5 = 3 THEN 8 ELSE 16 END AS side
+          FROM m WHERE id % 3 = 0 AND (id // 3) % 5 IN (3, 4)
+        ),
+        jcblk AS (
+          SELECT media_id, side, w, h,
+                 unnest(generate_series(
+                   0, ((w + side - 1) // side)
+                      * ((h + side - 1) // side) - 1)) AS b,
+                 (w + side - 1) // side AS bw
+          FROM jcimg
+        ),
+        jcrgb AS (
+          SELECT media_id, b,
+                 least(side, w - (b % bw) * side)
+                   * least(side, h - (b // bw) * side) AS npx,
+                 (media_id * 7 + b * 13) % 256 AS r,
+                 (media_id * 11 + b * 17) % 256 AS g,
+                 (media_id * 5 + b * 19) % 256 AS bl
+          FROM jcblk
+        ),
+        jcycc AS (
+          SELECT media_id, b, npx,
+                 (299000 * r + 587000 * g + 114000 * bl + 500000)
+                   // 1000000 AS y,
+                 (128000000 - 168736 * r - 331264 * g + 500000 * bl
+                   + 500000) // 1000000 AS cb,
+                 (128000000 + 500000 * r - 418688 * g - 81312 * bl
+                   + 500000) // 1000000 AS cr
+          FROM jcrgb
+        ),
+        jcout AS (
+          SELECT media_id, b, npx,
+                 greatest(0, least(255,
+                   (1000000 * y + 1402000 * (cr - 128) + 500000
+                     + 256000000) // 1000000 - 256)) AS r2,
+                 greatest(0, least(255,
+                   (1000000 * y - 344136 * (cb - 128)
+                     - 714136 * (cr - 128) + 500000
+                     + 256000000) // 1000000 - 256)) AS g2,
+                 greatest(0, least(255,
+                   (1000000 * y + 1772000 * (cb - 128) + 500000
+                     + 256000000) // 1000000 - 256)) AS b2
+          FROM jcycc
+        ),
+        jcstat AS (
+          SELECT media_id, 'image' AS kind, ch.part,
+                 CAST(sum(npx) AS BIGINT) AS n_values,
+                 CAST(sum(npx * CASE ch.part WHEN 0 THEN r2
+                                 WHEN 1 THEN g2 ELSE b2 END) AS BIGINT)
+                   AS sum_values,
+                 min(CASE ch.part WHEN 0 THEN r2
+                     WHEN 1 THEN g2 ELSE b2 END) AS min_value,
+                 max(CASE ch.part WHEN 0 THEN r2
+                     WHEN 1 THEN g2 ELSE b2 END) AS max_value
+          FROM jcout
+          CROSS JOIN (VALUES (CAST(0 AS INT)), (1), (2)) AS ch(part)
+          GROUP BY 1, 3
         ),
         jblk AS (
           SELECT media_id, w, h,
@@ -2734,6 +2800,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT * FROM imgstat
         UNION ALL SELECT * FROM jstat
+        UNION ALL SELECT * FROM jcstat
         UNION ALL SELECT * FROM audstat
         UNION ALL SELECT * FROM vidstat
         """

@@ -365,3 +365,361 @@ def decode_gray(payload: bytes) -> "tuple[int, int, bytes]":
                 np.round(block) + 128, 0, 255
             ).astype(np.uint8)
     return width, height, out[:height, :width].tobytes()
+
+
+# --- color (3-component YCbCr) baseline --------------------------------
+#
+# Annex K.3 typical CHROMINANCE Huffman tables (JPEG spec, public).
+DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHR_VALS = list(range(12))
+AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_DC_CHR_ENC = _canonical_codes(DC_CHR_BITS, DC_CHR_VALS)
+_AC_CHR_ENC = _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)
+
+
+def _half_up(x):
+    """floor(x + 0.5): round-half-UP on floats — used only to quantize
+    IDCT sample planes (where a 6-dp pre-round absorbs float ε) and
+    DCT coefficients; the COLOR transform below is scaled-integer so
+    it never touches float at all."""
+    return np.floor(x + 0.5)
+
+
+# JFIF color-transform coefficients scaled by 10^6 — the transform is
+# EXACT int64 arithmetic (the same trick libjpeg uses, SCALEBITS=16
+# there), so a SQL oracle replays it with integer expressions and no
+# engine-specific float/DECIMAL evaluation-order hazard. Division is
+# floor-division on a numerator kept positive by a +256·10^6 offset on
+# the inverse, making floor == truncate in every engine.
+_CSCALE = 1_000_000
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB → (h, w, 3) uint8 YCbCr. JFIF full-range
+    matrix in exact 10^6-scaled int64 arithmetic, half-up rounding
+    via the +500000 // 10^6 idiom."""
+    v = rgb.astype(np.int64)
+    r, g, b = v[..., 0], v[..., 1], v[..., 2]
+    y = (299000 * r + 587000 * g + 114000 * b + 500000) // _CSCALE
+    cb = (128 * _CSCALE - 168736 * r - 331264 * g + 500000 * b
+          + 500000) // _CSCALE
+    cr = (128 * _CSCALE + 500000 * r - 418688 * g - 81312 * b
+          + 500000) // _CSCALE
+    return np.clip(
+        np.stack([y, cb, cr], axis=-1), 0, 255
+    ).astype(np.uint8)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8/int YCbCr → (h, w, 3) uint8 RGB. JFIF inverse
+    in exact 10^6-scaled int64 arithmetic; the +256·10^6 offset keeps
+    the numerator positive so floor-division is engine-independent."""
+    v = np.asarray(ycc, dtype=np.int64)
+    y, cb, cr = v[..., 0], v[..., 1] - 128, v[..., 2] - 128
+    off = 256 * _CSCALE
+    r = (_CSCALE * y + 1402000 * cr + 500000 + off) // _CSCALE - 256
+    g = (_CSCALE * y - 344136 * cb - 714136 * cr + 500000
+         + off) // _CSCALE - 256
+    b = (_CSCALE * y + 1772000 * cb + 500000 + off) // _CSCALE - 256
+    return np.clip(
+        np.stack([r, g, b], axis=-1), 0, 255
+    ).astype(np.uint8)
+
+
+def _encode_block(writer, block, qzz, prev_dc, dc_enc, ac_enc):
+    """FDCT + quantize + entropy-code one 8×8 sample block; returns
+    the new DC predictor."""
+    coef = _C @ block @ _C.T
+    zz = coef.reshape(64)[ZIGZAG]
+    qz = np.asarray(_half_up(zz / qzz), dtype=np.int64)
+    size, bits = _magnitude(int(qz[0]) - prev_dc)
+    c, ln = dc_enc[size]
+    writer.put(c, ln)
+    if size:
+        writer.put(bits, size)
+    run = 0
+    nz = np.nonzero(qz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(qz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_enc[0xF0]
+            writer.put(c, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        c, ln = ac_enc[(run << 4) | size]
+        writer.put(c, ln)
+        writer.put(bits, size)
+        run = 0
+    if last < 63:
+        c, ln = ac_enc[0x00]
+        writer.put(c, ln)
+    return int(qz[0])
+
+
+def encode_rgb(width: int, height: int, pixels: bytes,
+               subsample: str = "444",
+               quant: "list[int] | None" = None,
+               quant_chroma: "list[int] | None" = None) -> bytes:
+    """Baseline color JPEG encode: RGB → YCbCr, optional 2×2 chroma
+    subsampling ("420"; "444" keeps full chroma), per-component
+    DCT/quant/Huffman (Annex-K luma + chroma tables), interleaved
+    MCU scan with per-component DC predictors. ``pixels`` is
+    row-major RGB, ``len == 3·width·height``. Default quant tables
+    are all-ones (the constant-block exactness the decode gate uses);
+    chroma defaults to the luma table."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    ql = np.ones(64, dtype=np.int64) if quant is None else np.asarray(
+        quant, dtype=np.int64)
+    qc = ql if quant_chroma is None else np.asarray(
+        quant_chroma, dtype=np.int64)
+    for q in (ql, qc):
+        if q.shape != (64,) or (q < 1).any() or (q > 255).any():
+            raise ValueError("quant table must be 64 values in 1..255")
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3)
+    ycc = rgb_to_ycbcr(rgb).astype(np.float64)
+
+    hy = 2 if subsample == "420" else 1
+    mcu_px = 8 * hy
+    mw = (width + mcu_px - 1) // mcu_px
+    mh = (height + mcu_px - 1) // mcu_px
+    # pad to whole MCUs by edge replication
+    padded = np.pad(
+        ycc,
+        ((0, mh * mcu_px - height), (0, mw * mcu_px - width), (0, 0)),
+        mode="edge",
+    )
+    y_pl = padded[..., 0] - 128.0
+    if subsample == "420":
+        c_full = padded[..., 1:]
+        # 2×2 mean, half-up rounded — the oracle-replayable average
+        csub = _half_up(
+            (c_full[0::2, 0::2] + c_full[0::2, 1::2]
+             + c_full[1::2, 0::2] + c_full[1::2, 1::2]) / 4.0
+        )
+        cb_pl = csub[..., 0] - 128.0
+        cr_pl = csub[..., 1] - 128.0
+    else:
+        cb_pl = padded[..., 1] - 128.0
+        cr_pl = padded[..., 2] - 128.0
+
+    writer = _BitWriter()
+    qlz = ql[ZIGZAG]
+    qcz = qc[ZIGZAG]
+    dc = [0, 0, 0]
+    for my in range(mh):
+        for mx in range(mw):
+            if subsample == "420":
+                for vy in range(2):
+                    for vx in range(2):
+                        by, bx = my * 2 + vy, mx * 2 + vx
+                        blk = y_pl[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                        dc[0] = _encode_block(
+                            writer, blk, qlz, dc[0], _DC_ENC, _AC_ENC)
+            else:
+                blk = y_pl[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                dc[0] = _encode_block(
+                    writer, blk, qlz, dc[0], _DC_ENC, _AC_ENC)
+            for ci, plane in ((1, cb_pl), (2, cr_pl)):
+                blk = plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                dc[ci] = _encode_block(
+                    writer, blk, qcz, dc[ci], _DC_CHR_ENC, _AC_CHR_ENC)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = (seg(0xFFDB, b"\x00" + bytes(int(x) for x in ql))
+           + seg(0xFFDB, b"\x01" + bytes(int(x) for x in qc)))
+    samp = 0x22 if subsample == "420" else 0x11
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)
+              + bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    dht = (
+        seg(0xFFC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+        + seg(0xFFC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+        + seg(0xFFC4, b"\x01" + bytes(DC_CHR_BITS) + bytes(DC_CHR_VALS))
+        + seg(0xFFC4, b"\x11" + bytes(AC_CHR_BITS) + bytes(AC_CHR_VALS))
+    )
+    sos = seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11])
+              + b"\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes(writer.out)
+        + b"\xff\xd9"
+    )
+
+
+def decode_color(payload: bytes) -> "tuple[int, int, bytes]":
+    """(width, height, rgb_bytes) from a baseline JPEG — grayscale
+    (1 component, replicated to RGB? no: see below), 4:4:4, or 4:2:0
+    YCbCr. Parses DQT/DHT/SOF0/SOS from the stream, entropy-decodes
+    interleaved MCUs with per-component DC predictors, dequantizes,
+    IDCTs, box-upsamples subsampled chroma, and applies the JFIF
+    inverse transform with half-up rounding. For single-component
+    streams it returns the LUMINANCE plane (w·h bytes), matching
+    ``decode_gray`` — callers branch on length, as with PPM vs gray.
+
+    Raises ValueError on progressive/arithmetic/non-8-bit streams and
+    on sampling layouts other than 1×1×3 (4:4:4), 2×2,1×1,1×1
+    (4:2:0), or single-component 1×1."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    quant: dict = {}
+    dc_tabs: dict = {}
+    ac_tabs: dict = {}
+    width = height = 0
+    comps: list = []  # (comp_id, h, v, tq)
+    scan_sel: dict = {}
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("no scan data before EOI")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        body = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                quant[tq] = np.frombuffer(
+                    body[b + 1:b + 65], dtype=np.uint8
+                ).astype(np.int64)
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1:b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17:b + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(
+                    bits, vals)
+                b += 17 + n
+        elif marker == 0xC0:
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", body[:6])
+            if precision != 8:
+                raise ValueError("only 8-bit baseline supported")
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component JPEG supported")
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan_sel[cid] = (tt >> 4, tt & 0x0F)
+            pos += seglen
+            break
+        pos += seglen
+    else:
+        raise ValueError("no SOS marker")
+    if not width or not comps:
+        raise ValueError("missing SOF0")
+    samplings = [(h, v) for _, h, v, _ in comps]
+    if len(comps) == 1:
+        if samplings[0] != (1, 1):
+            raise ValueError("only 1x1 sampling for grayscale")
+    elif samplings not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
+        raise ValueError("only 4:4:4 or 4:2:0 sampling supported")
+
+    hmax = max(h for h, _ in samplings)
+    mcu_px = 8 * hmax
+    mw = (width + mcu_px - 1) // mcu_px
+    mh = (height + mcu_px - 1) // mcu_px
+    planes = []
+    for _, h, v, _ in comps:
+        planes.append(np.zeros((mh * 8 * v, mw * 8 * h), dtype=np.float64))
+
+    reader = _BitReader(payload, pos)
+    prev_dc = [0] * len(comps)
+    inv_zz = np.zeros(64, dtype=np.int64)
+    for my in range(mh):
+        for mx in range(mw):
+            for ci, (cid, h, v, tq) in enumerate(comps):
+                dsel, asel = scan_sel.get(cid, (0, 0))
+                dc_tab, ac_tab = dc_tabs[dsel], ac_tabs[asel]
+                q = quant[tq]
+                for vy in range(v):
+                    for vx in range(h):
+                        inv_zz[:] = 0
+                        size = _read_symbol(reader, dc_tab)
+                        prev_dc[ci] += _extend(reader.bits(size), size)
+                        inv_zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(reader, ac_tab)
+                            if sym == 0x00:
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            k += run
+                            if k >= 64:
+                                raise ValueError("AC run past block end")
+                            inv_zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = inv_zz * q
+                        block = _C.T @ coef.reshape(8, 8) @ _C
+                        by = (my * v + vy) * 8
+                        bx = (mx * h + vx) * 8
+                        planes[ci][by:by + 8, bx:bx + 8] = block + 128.0
+
+    if len(comps) == 1:
+        out = np.clip(_half_up(planes[0]), 0, 255).astype(np.uint8)
+        return width, height, out[:height, :width].tobytes()
+    y_pl = planes[0]
+    if samplings[0] == (2, 2):
+        cb = np.repeat(np.repeat(planes[1], 2, axis=0), 2, axis=1)
+        cr = np.repeat(np.repeat(planes[2], 2, axis=0), 2, axis=1)
+    else:
+        cb, cr = planes[1], planes[2]
+    ycc = np.stack(
+        [y_pl, cb[:y_pl.shape[0], :y_pl.shape[1]],
+         cr[:y_pl.shape[0], :y_pl.shape[1]]], axis=-1
+    )
+    # Quantize each plane to integer YCbCr exactly as the grayscale
+    # path does (6-dp pre-round absorbs float-matmul ε from the IDCT,
+    # then half-up + clamp); the inverse color transform is then
+    # EXACT integer arithmetic the decode-gate oracle replays in SQL.
+    ycc_q = np.clip(_half_up(np.round(ycc, 6)), 0, 255).astype(np.int64)
+    rgb = ycbcr_to_rgb(ycc_q)
+    return width, height, rgb[:height, :width].tobytes()

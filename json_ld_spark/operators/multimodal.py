@@ -259,12 +259,14 @@ def decode_image(
     payload: bytes, meta: "dict | None" = None, strict: bool = False
 ) -> tuple[int, int, bytes]:
     """(width, height, pixel_bytes) from a binary-PPM (P6), PNG
-    (8-bit RGB), or baseline grayscale JPEG payload — REAL parses of
-    real bytes: PNG includes zlib inflate, CRC checks, and scanline
+    (8-bit RGB), or baseline JPEG payload — REAL parses of real
+    bytes: PNG includes zlib inflate, CRC checks, and scanline
     unfiltering; JPEG includes Huffman entropy decode, dequantization,
-    and IDCT (operators/jpeg.py). Returned pixel_bytes is 3·w·h RGB
-    for PPM/PNG and w·h luminance for grayscale JPEG — callers branch
-    on length. COLOR (multi-component) JPEG still needs Pillow:
+    IDCT, chroma upsampling, and the YCbCr→RGB inverse transform
+    (operators/jpeg.py) for grayscale, 4:4:4, and 4:2:0 baseline
+    streams. Returned pixel_bytes is 3·w·h RGB for PPM/PNG/color-JPEG
+    and w·h luminance for grayscale JPEG — callers branch on length.
+    Progressive/arithmetic/restart-interval JPEG still needs Pillow:
     strict mode raises, non-strict falls back to a deterministic
     digest fake (0×0 dims) so plumbing tests can run on arbitrary
     bytes."""
@@ -277,12 +279,12 @@ def decode_image(
             if strict:
                 raise
     if payload[:2] == b"\xff\xd8":
-        from json_ld_spark.operators.jpeg import decode_gray
+        from json_ld_spark.operators.jpeg import decode_color
 
         try:
-            return decode_gray(payload)
+            return decode_color(payload)
         except (ValueError, IndexError, struct.error):
-            # color/progressive JPEG (or corrupt stream): strict
+            # progressive/arithmetic JPEG (or corrupt stream): strict
             # surfaces it — that remains the Pillow swap-in point
             if strict:
                 raise
@@ -433,6 +435,25 @@ def _jpeg_block_values(media_id: int, n_blocks: int) -> np.ndarray:
     )
 
 
+def _jpeg_color_block_rgb(media_id: int, n_blocks: int) -> np.ndarray:
+    """Closed-form per-block RGB for the COLOR JPEG corpus, shape
+    (n_blocks, 3): r=(id·7+b·13)%256, g=(id·11+b·17)%256,
+    b=(id·5+b·19)%256. Constant blocks (8×8 for 4:4:4, whole 16×16
+    MCUs for 4:2:0) keep the DCT round trip bit-exact at unit quant;
+    the decoded pixel is then EXACTLY ycbcr_to_rgb(rgb_to_ycbcr(v)) —
+    a pure scaled-integer transform the SQL oracle replays
+    (operators/jpeg.py)."""
+    b = np.arange(n_blocks)
+    return np.stack(
+        [
+            (media_id * 7 + b * 13) % 256,
+            (media_id * 11 + b * 17) % 256,
+            (media_id * 5 + b * 19) % 256,
+        ],
+        axis=-1,
+    ).astype(np.int64)
+
+
 def _image_pixels(media_id: int, n: int, frame: int = 0) -> np.ndarray:
     """Closed-form pixel bytes: value(i) = (id*7 + frame*3 + i*13) % 256.
     The SAME closed form is recomputed by the DuckDB oracle from
@@ -454,7 +475,8 @@ def synthesize_decodable_media(
     spark: SparkSession, n: int = 240
 ) -> DataFrame:
     """Deterministic media table whose payloads are REAL decodable
-    containers (PPM / WAV / ppm-seq), generated distributed via
+    containers (PNG / PPM / JPEG gray + 4:4:4 + 4:2:0 / WAV /
+    ppm-seq), generated distributed via
     mapInPandas — content is a pure closed-form function of media_id,
     which is what lets a SQL oracle verify the decoded bytes."""
 
@@ -466,13 +488,15 @@ def synthesize_decodable_media(
                 kind = ("image", "audio", "video")[mid % 3]
                 if kind == "image":
                     w, h = _image_dims(mid)
-                    # container cycles png / ppm / jpeg-gray — PNG and
-                    # PPM share the RGB closed form; JPEG (lossy)
-                    # carries CONSTANT 8×8 blocks with a unit quant
-                    # table, the one shape whose DCT round trip is
-                    # bit-exact, so the same hash-gate discipline
-                    # covers all three containers
-                    container = (mid // 3) % 3
+                    # container cycles png / ppm / jpeg-gray /
+                    # jpeg-444 / jpeg-420 — PNG and PPM share the RGB
+                    # closed form; the JPEG variants (lossy) carry
+                    # CONSTANT blocks (8×8, or whole 16×16 MCUs for
+                    # 4:2:0 so chroma subsampling is exact) with a
+                    # unit quant table, the shapes whose DCT round
+                    # trip is bit-exact — the same hash-gate
+                    # discipline covers all five containers
+                    container = (mid // 3) % 5
                     if container == 2:
                         from json_ld_spark.operators.jpeg import (
                             encode_gray,
@@ -488,6 +512,22 @@ def synthesize_decodable_media(
                         ).astype(np.uint8)
                         payload = encode_gray(w, h, gray.tobytes())
                         meta = (w, h, None, None, "jpeg-gray")
+                    elif container in (3, 4):
+                        from json_ld_spark.operators.jpeg import (
+                            encode_rgb,
+                        )
+
+                        side = 8 if container == 3 else 16
+                        bw = (w + side - 1) // side
+                        bh = (h + side - 1) // side
+                        rgbv = _jpeg_color_block_rgb(mid, bw * bh)
+                        grid = rgbv.reshape(bh, bw, 3)
+                        full = np.repeat(
+                            np.repeat(grid, side, axis=0), side, axis=1
+                        )[:h, :w].astype(np.uint8)
+                        sub = "444" if container == 3 else "420"
+                        payload = encode_rgb(w, h, full.tobytes(), sub)
+                        meta = (w, h, None, None, f"jpeg-{sub}")
                     elif container == 0:
                         px = _image_pixels(mid, w * h * 3).tobytes()
                         payload = _png_payload(w, h, px)

@@ -197,16 +197,17 @@ def test_decode_stats_matches_local_recompute(spark):
         synthesize_decodable_media,
     )
 
-    media = synthesize_decodable_media(spark, n=36)
+    media = synthesize_decodable_media(spark, n=60)
     rows = {
         (r["media_id"], r["part"]): r
         for r in decode_stats(media, every_n=5).collect()
     }
-    for mid in range(36):
+    for mid in range(60):
         kind = ("image", "audio", "video")[mid % 3]
         if kind == "image":
             w, h = _image_dims(mid)
-            if (mid // 3) % 3 == 2:  # jpeg-gray: constant-block content
+            container = (mid // 3) % 5
+            if container == 2:  # jpeg-gray: constant-block content
                 from json_ld_spark.operators.multimodal import (
                     _jpeg_block_values,
                 )
@@ -219,6 +220,38 @@ def test_decode_stats_matches_local_recompute(spark):
                 assert (r["min_value"], r["max_value"]) == (
                     blocks.min(), blocks.max(),
                 )
+                continue
+            if container in (3, 4):  # color JPEG: block RGB through
+                # the exact integer YCbCr round trip
+                from json_ld_spark.operators.jpeg import (
+                    rgb_to_ycbcr,
+                    ycbcr_to_rgb,
+                )
+                from json_ld_spark.operators.multimodal import (
+                    _jpeg_color_block_rgb,
+                )
+
+                side = 8 if container == 3 else 16
+                bw, bh = (w + side - 1) // side, (h + side - 1) // side
+                rgbv = _jpeg_color_block_rgb(mid, bw * bh)
+                dec = ycbcr_to_rgb(
+                    rgb_to_ycbcr(
+                        rgbv.reshape(bh, bw, 3).astype(np.uint8)
+                    ).astype(np.int64)
+                ).reshape(-1, 3).astype(np.int64)
+                npx = np.array([
+                    min(side, w - (m % bw) * side)
+                    * min(side, h - (m // bw) * side)
+                    for m in range(bw * bh)
+                ])
+                for c in range(3):
+                    r = rows[(mid, c)]
+                    assert (r["n_values"], r["sum_values"]) == (
+                        w * h, int((npx * dec[:, c]).sum()),
+                    )
+                    assert (r["min_value"], r["max_value"]) == (
+                        dec[:, c].min(), dec[:, c].max(),
+                    )
                 continue
             arr = _image_pixels(mid, w * h * 3).astype(np.int64)
             for c in range(3):
@@ -404,6 +437,91 @@ def test_jpeg_rejects_unsupported_profiles():
         decode_gray(prog)
     with _pytest.raises(ValueError):
         encode_gray(8, 8, b"\x00" * 63)  # wrong buffer size
+
+
+def test_jpeg_color_constant_blocks_bit_exact():
+    """Color twin of the grayscale gate property: constant 8×8 blocks
+    (4:4:4) / constant 16×16 MCUs (4:2:0) at unit quant decode to
+    EXACTLY the scaled-integer YCbCr round trip of the source RGB —
+    including partial edge MCUs, which the encoder pads by edge
+    replication and the decoder crops."""
+    import numpy as np
+
+    from json_ld_spark.operators.jpeg import (
+        decode_color,
+        encode_rgb,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    for sub, side, (w, h) in (
+        ("444", 8, (40, 24)), ("420", 16, (40, 24)), ("420", 16, (8, 8)),
+    ):
+        bw, bh = (w + side - 1) // side, (h + side - 1) // side
+        rgb = np.zeros((h, w, 3), dtype=np.uint8)
+        for m in range(bw * bh):
+            my, mx = divmod(m, bw)
+            rgb[my * side:(my + 1) * side, mx * side:(mx + 1) * side] = (
+                (m * 13 + 7) % 256, (m * 17 + 3) % 256, (m * 19 + 11) % 256,
+            )
+        w2, h2, px = decode_color(encode_rgb(w, h, rgb.tobytes(), sub))
+        exp = ycbcr_to_rgb(rgb_to_ycbcr(rgb).astype(np.int64))
+        assert (w2, h2) == (w, h)
+        assert px == exp.tobytes(), (sub, w, h)
+
+
+def test_jpeg_color_arbitrary_content_bounded_error():
+    """Arbitrary content: 4:4:4 at unit quant stays within combined
+    DCT-rounding + color-transform error; 4:2:0 keeps LUMA within the
+    same bound while chroma is genuinely subsampled (the lossy path
+    works, it isn't a constant-block-only toy)."""
+    import numpy as np
+
+    from json_ld_spark.operators.jpeg import (
+        decode_color,
+        encode_rgb,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    _, _, px = decode_color(encode_rgb(17, 24, img.tobytes(), "444"))
+    out = np.frombuffer(px, np.uint8).reshape(24, 17, 3).astype(int)
+    exp = ycbcr_to_rgb(rgb_to_ycbcr(img).astype(np.int64)).astype(int)
+    assert np.abs(out - exp).max() <= 12  # DCT ±1/component × gains
+
+    _, _, px = decode_color(encode_rgb(17, 24, img.tobytes(), "420"))
+    out = np.frombuffer(px, np.uint8).reshape(24, 17, 3)
+    y_out = rgb_to_ycbcr(out)[..., 0].astype(int)
+    y_in = rgb_to_ycbcr(img)[..., 0].astype(int)
+    assert np.abs(y_out - y_in).max() <= 16
+
+
+def test_jpeg_color_decoder_handles_grayscale_and_rejects():
+    """decode_color on a 1-component stream returns the luminance
+    plane (decode_gray parity); malformed/unsupported streams raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from json_ld_spark.operators.jpeg import (
+        decode_color,
+        decode_gray,
+        encode_gray,
+        encode_rgb,
+    )
+
+    rng = np.random.default_rng(23)
+    g = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    enc = encode_gray(24, 16, g.tobytes())
+    assert decode_color(enc) == decode_gray(enc)
+
+    with _pytest.raises(ValueError):
+        decode_color(b"not a jpeg")
+    with _pytest.raises(ValueError):
+        encode_rgb(8, 8, b"\x00" * 8 * 8 * 3, "422")  # unsupported mode
+    with _pytest.raises(ValueError):
+        encode_rgb(8, 8, b"\x00" * 10, "444")  # wrong buffer size
 
 
 def test_jpeg_flows_through_decode_image_and_stats(spark):
