@@ -868,6 +868,26 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stats(media, every_n=_DECODE_EVERY_N)
 
 
+_AUDIO_WIN = 400
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features (25 ms windows: integer energy,
+    zero-crossing count, min/max) over REAL decoded WAV-PCM16 — the
+    VAD / voiced-unvoiced signals an audio training pipeline computes
+    per frame. The oracle regenerates every sample from the closed
+    form and recomputes each window's features relationally, so a
+    mis-framed window, an off-by-one in the crossing rule, or a
+    corrupt decode all fail the hash."""
+    from json_ld_spark.operators.multimodal import (
+        audio_window_features,
+        synthesize_decodable_media,
+    )
+
+    media = synthesize_decodable_media(spark, n=_N_MEDIA)
+    return audio_window_features(media, win=_AUDIO_WIN)
+
+
 def _fresh_stream_dir(prefix: str) -> str:
     """mkdtemp for a streaming replay under a per-PROCESS parent dir —
     each replay stages a parquet copy of the corpus, and without a
@@ -1369,6 +1389,27 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+_UP_EPOCHS = {"src0": 3.0, "src1": 2.5, "src2": 0.5}
+_UP_DEFAULT = 1.0
+
+
+def q_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling under the gate: src0 ×3, src1 ×2.5
+    (every row twice, a hash-chosen half a third time), src2 ×0.5
+    (hash-chosen half kept once), everything else ×1 — the replication
+    half of a training mix table (stratified_sample is the keep-rate
+    half). The oracle replays the md5 bucket, the per-stratum weight
+    CASE, and the generate_series replication, so a wrong copy count
+    on any single row fails the hash."""
+    from json_ld_spark.operators.corpus import upsample_by_epochs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return upsample_by_epochs(
+        docs, _UP_EPOCHS, "source", "doc_id",
+        default_epochs=_UP_DEFAULT, hash_family="md5",
+    ).select("doc_id", "source", "copy_idx")
+
+
 _DUPGRAM_N = 5
 
 
@@ -1537,6 +1578,31 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(
         docs, _SAMPLE_FRACTION, "doc_id", hash_family="md5"
     ).select("doc_id")
+
+
+def q_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction: parse the ``props`` JSON
+    string column with a declared schema (``from_json`` — JVM-side
+    Jackson parse, no Python in the path) and aggregate the extracted
+    field per event type and value decile. The pattern every
+    transcript pipeline needs for tool-call payloads / metadata blobs
+    riding along as JSON strings; the oracle re-extracts with DuckDB's
+    JSON functions, so a lenient parse that nulls a malformed field
+    diverges immediately."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy(
+            "event_type", F.floor(F.col("_k") / 10).alias("k_decile")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1995,6 +2061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_scores": q_lm_quality_scores,
         "train_val_split": q_train_val_split,
         "domain_mix_sample": q_domain_mix_sample,
+        "domain_upsample": q_domain_upsample,
+        "audio_features": q_audio_features,
+        "event_props": q_event_props,
         "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep": q_dedup_keep,
@@ -3069,6 +3138,79 @@ def oracle_sql() -> dict[str, str]:
               AS BIGINT) % 1000000
               < CASE source {_mix_cases}
                 ELSE {int(_MIX_DEFAULT * 1_000_000)} END
+        """
+    # upsample oracle: replay the md5 bucket, the weight CASE, and the
+    # per-row generate_series replication
+    _up_cases = " ".join(
+        f"WHEN '{s}' THEN {int(w * 1_000_000)}"
+        for s, w in sorted(_UP_EPOCHS.items())
+    )
+    d["domain_upsample"] = f"""
+        WITH w AS (
+          SELECT doc_id, source,
+                 CASE source {_up_cases}
+                   ELSE {int(_UP_DEFAULT * 1_000_000)} END AS wt,
+                 CAST(concat('0x', substring(
+                     md5(concat(CAST(doc_id AS VARCHAR), '-up11')), 1, 15))
+                   AS BIGINT) % 1000000 AS bucket
+          FROM documents
+        ),
+        n AS (
+          SELECT doc_id, source,
+                 wt // 1000000
+                   + CASE WHEN bucket < wt % 1000000 THEN 1 ELSE 0 END
+                   AS n_copies
+          FROM w
+        )
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(0, n_copies - 1)) AS INT)
+                 AS copy_idx
+        FROM n WHERE n_copies > 0
+        """
+    # audio-features oracle: regenerate every PCM sample from the
+    # closed form; a window's crossing count compares each sample's
+    # sign with its predecessor's REGENERATED value (no window
+    # functions needed — the predecessor is a formula too)
+    d["audio_features"] = f"""
+        WITH aud AS (
+          SELECT range AS media_id, (range % 10) * 400 + 400 AS ns
+          FROM range({_N_MEDIA}) WHERE range % 3 = 1
+        ),
+        s AS (
+          SELECT media_id,
+                 unnest(generate_series(0, ns - 1)) AS i
+          FROM aud
+        ),
+        v AS (
+          SELECT media_id, i, i // {_AUDIO_WIN} AS win_idx,
+                 (media_id * 31 + i * 17) % 65536 - 32768 AS x,
+                 (media_id * 31 + (i - 1) * 17) % 65536 - 32768 AS xp
+          FROM s
+        )
+        SELECT media_id, CAST(win_idx AS INT) AS win_idx,
+               CAST(count(*) AS INT) AS n_samples,
+               CAST(sum(x * x) AS BIGINT) AS sum_sq,
+               CAST(sum(CASE WHEN i % {_AUDIO_WIN} > 0
+                        AND (x < 0) <> (xp < 0) THEN 1 ELSE 0 END) AS INT)
+                 AS n_zero_cross,
+               CAST(min(x) AS BIGINT) AS min_value,
+               CAST(max(x) AS BIGINT) AS max_value
+        FROM v GROUP BY 1, 2
+        """
+    # props-extraction oracle: DuckDB's JSON path extraction vs
+    # Spark's from_json — two independent JSON parsers must agree
+    d["event_props"] = """
+        SELECT event_type,
+               CAST(floor(CAST(json_extract_string(props, '$.k') AS INT)
+                    / 10.0) AS BIGINT) AS k_decile,
+               count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                    AS BIGINT) AS sum_k,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS INT))
+                    AS INT) AS min_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INT))
+                    AS INT) AS max_k
+        FROM events GROUP BY 1, 2
         """
     # duplicated-n-gram oracle: occurrences with multiplicity, corpus
     # frequency, tag, fold — relational replay of the same counts

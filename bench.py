@@ -151,8 +151,11 @@ def main() -> None:
         "lm_quality_scores",
         "train_val_split",
         "domain_mix_sample",
+        "domain_upsample",
         "dup_ngram_frac",
         "dedup_incremental",
+        "audio_features",
+        "event_props",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

@@ -396,3 +396,61 @@ def leakage_safe_splits(
         train.unionByName(fp.filter(F.col("split") != "train"))
         .select(key_col, "split")
     )
+
+
+def upsample_by_epochs(
+    df: DataFrame,
+    epochs: "dict[str, float]",
+    strata_col: str,
+    key_col: str,
+    default_epochs: float = 1.0,
+    seed: int = 11,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """``df`` replicated per-stratum by FRACTIONAL epoch weights — the
+    upsampling half of training-data mixing (see 'The Pile' /
+    'Gopher'-style mix tables: books ×3.2 epochs, wiki ×2, crawl ×0.5
+    — the downsampling side is ``stratified_sample``). A weight of
+    2.5 emits every row twice and a deterministic hash-chosen half of
+    the stratum a third time, so realized epoch counts converge to
+    the requested weight while individual rows stay append-stable:
+    re-running over a grown corpus never changes how many copies an
+    old row gets.
+
+    Output adds ``copy_idx`` (0-based) — downstream shuffling by
+    (key, copy_idx) spreads the replicas across partitions instead of
+    co-locating them. Pure JVM row expressions: a literal CASE chain
+    for the weight lookup (mix tables are small by construction), a
+    hash threshold for the fractional copy, and one ``explode`` over
+    a ``sequence`` — zero shuffle, zero join, full scan pushdown.
+    md5 family for oracle replay, xxhash64 for production."""
+    denom = 1_000_000
+    if hash_family == "md5":
+        from json_ld_spark.operators.dedup import md5_hash60
+
+        bucket = F.pmod(
+            md5_hash60(F.concat(F.col(key_col).cast("string"),
+                                F.lit(f"-up{seed}"))),
+            F.lit(denom),
+        )
+    else:
+        bucket = F.pmod(
+            F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)),
+            F.lit(denom),
+        )
+    base = F.lit(int(default_epochs * denom))
+    for stratum, w in sorted(epochs.items()):
+        base = F.when(
+            F.col(strata_col) == stratum, F.lit(int(w * denom))
+        ).otherwise(base)
+    n_copies = (base / denom).cast("int") + (
+        bucket < F.pmod(base, F.lit(denom))
+    ).cast("int")
+    return (
+        df.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0), F.col("_n") - 1))
+        )
+        .drop("_n")
+    )

@@ -1123,3 +1123,80 @@ def test_leakage_safe_splits_drops_contaminated_train(spark):
     assert leaky_id not in out          # contaminated train row dropped
     assert out[an_eval] == base[an_eval]  # eval rows pass through
     assert out[a_train] == "train"       # clean train rows survive
+
+
+def test_upsample_by_epochs_counts_and_stability(spark):
+    from json_ld_spark.operators.corpus import upsample_by_epochs
+
+    rows = [(i, ("x3" if i % 4 == 0 else "x25" if i % 4 == 1
+                 else "half" if i % 4 == 2 else "other"))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    weights = {"x3": 3.0, "x25": 2.5, "half": 0.5}
+    up = upsample_by_epochs(df, weights, "src", "id").collect()
+    per_key: dict = {}
+    for r in up:
+        per_key.setdefault((r["id"], r["src"]), []).append(r["copy_idx"])
+    # integer weight: exactly 3 copies, copy_idx = 0..2
+    for (i, src), idxs in per_key.items():
+        if src == "x3":
+            assert sorted(idxs) == [0, 1, 2]
+        elif src == "x25":
+            assert sorted(idxs) in ([0, 1], [0, 1, 2])
+        elif src == "half":
+            assert idxs == [0]
+        else:
+            assert idxs == [0]          # default 1.0 epoch
+    # fractional weights realized in aggregate
+    n_x25 = sum(len(v) for (i, s), v in per_key.items() if s == "x25")
+    assert 2.3 * 1000 < n_x25 < 2.7 * 1000
+    n_half = sum(1 for (i, s) in per_key if s == "half")
+    assert 0.4 * 1000 < n_half < 0.6 * 1000
+    # default-epoch rows appear exactly once
+    assert sum(1 for (i, s) in per_key if s == "other") == 1000
+    # append-stability: a grown corpus never changes old copy counts
+    bigger = spark.createDataFrame(
+        rows + [(i, "half") for i in range(4000, 5000)],
+        "id long, src string",
+    )
+    up2 = {}
+    for r in upsample_by_epochs(bigger, weights, "src", "id").collect():
+        if r["id"] < 4000:
+            up2.setdefault((r["id"], r["src"]), []).append(r["copy_idx"])
+    assert {k: sorted(v) for k, v in up2.items()} == {
+        k: sorted(v) for k, v in per_key.items()
+    }
+
+
+def test_audio_window_features_match_numpy(spark):
+    import numpy as np
+
+    from json_ld_spark.operators.multimodal import (
+        _audio_pcm,
+        _audio_samples_n,
+        audio_window_features,
+        synthesize_decodable_media,
+    )
+
+    media = synthesize_decodable_media(spark, n=30)
+    rows = {
+        (r["media_id"], r["win_idx"]): r
+        for r in audio_window_features(media, win=400).collect()
+    }
+    checked = 0
+    for mid in range(30):
+        if mid % 3 != 1:
+            continue
+        arr = _audio_pcm(mid, _audio_samples_n(mid)).astype(np.int64)
+        for wi in range(0, len(arr), 400):
+            seg = arr[wi:wi + 400]
+            neg = seg < 0
+            r = rows[(mid, wi // 400)]
+            assert r["n_samples"] == len(seg)
+            assert r["sum_sq"] == int((seg * seg).sum())
+            assert r["n_zero_cross"] == int((neg[1:] != neg[:-1]).sum())
+            assert (r["min_value"], r["max_value"]) == (seg.min(), seg.max())
+            checked += 1
+    assert checked >= 10
+    # non-audio rows contribute nothing
+    assert all(k[0] % 3 == 1 for k in rows)
