@@ -1629,6 +1629,84 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join under the gate: attach to every event the most
+    recent per-user daily snapshot (taken at the day's last event)
+    with snapshot_ts <= event_ts — the 'state as of this turn' attach
+    every transcript pipeline needs. Spark side runs the union-sort-
+    window as-of (operators/joins.py — ONE shuffle, no range
+    predicate); the oracle is DuckDB's NATIVE ASOF JOIN, a
+    structurally independent engine feature, so the tie rule
+    (equal-timestamp snapshot visible), the carry-forward, and the
+    no-prior-snapshot NULLs must all agree across two unrelated
+    implementations."""
+    from json_ld_spark.operators.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    snap = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("_day")
+        )
+        .agg(
+            F.max("ts").alias("snap_ts"),
+            F.count("*").alias("day_events"),
+            F.round(F.sum("value"), 2).alias("day_value"),
+        )
+        .drop("_day")
+    )
+    out = asof_join(
+        ev.select("event_id", "ts", "user_id", "value"),
+        snap, on="user_id", left_ts="ts", right_ts="snap_ts",
+    )
+    return out.select(
+        "event_id", "user_id", "day_events", "day_value",
+    )
+
+
+def q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join under the gate: per (user, day)
+    two overlapping activity windows — 'early' = [first event, +2 h]
+    and 'mid' = [first event +1 h, +5 h] — and every event joins to
+    every window containing it (0, 1, or 2 matches per event;
+    boundaries inclusive). Spark side is the bucketed interval join
+    (operators/joins.py: explode intervals to 1-hour buckets →
+    equi-join on (key, bucket) → exact BETWEEN residual), so Catalyst
+    plans a shuffled hash join instead of a broadcast nested loop;
+    the oracle evaluates the raw range predicate directly."""
+    from json_ld_spark.operators.joins import range_join_points
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    first = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("_day")
+    ).agg(F.min("ts").alias("_t0"))
+    wins = first.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("early").alias("win_tag"),
+                    F.col("_t0").alias("win_start"),
+                    (F.col("_t0") + F.expr("INTERVAL 2 HOURS"))
+                    .alias("win_end"),
+                ),
+                F.struct(
+                    F.lit("mid").alias("win_tag"),
+                    (F.col("_t0") + F.expr("INTERVAL 1 HOURS"))
+                    .alias("win_start"),
+                    (F.col("_t0") + F.expr("INTERVAL 5 HOURS"))
+                    .alias("win_end"),
+                ),
+            )
+        ).alias("_w"),
+    ).select("user_id", "_w.win_tag", "_w.win_start", "_w.win_end")
+    out = range_join_points(
+        ev.select("event_id", "ts", "user_id"),
+        wins, on="user_id", point_ts="ts",
+        start_col="win_start", end_col="win_end", bucket=3600,
+    )
+    return out.select("event_id", "user_id", "win_tag")
+
+
 def _sql_cos(a: str, b: str) -> str:
     return (
         f"list_dot_product({a}, {b}) / "
@@ -2064,6 +2142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_upsample": q_domain_upsample,
         "audio_features": q_audio_features,
         "event_props": q_event_props,
+        "events_asof": q_events_asof,
+        "events_in_windows": q_events_in_windows,
         "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep": q_dedup_keep,
@@ -3138,6 +3218,38 @@ def oracle_sql() -> dict[str, str]:
               AS BIGINT) % 1000000
               < CASE source {_mix_cases}
                 ELSE {int(_MIX_DEFAULT * 1_000_000)} END
+        """
+    # as-of oracle: DuckDB's NATIVE ASOF JOIN — an independent engine
+    # feature, not a replay of the union-sort-window trick
+    d["events_asof"] = """
+        WITH snap AS (
+          SELECT user_id, max(ts) AS snap_ts,
+                 count(*) AS day_events,
+                 round(sum(value), 2) AS day_value
+          FROM events GROUP BY user_id, date_trunc('day', ts)
+        )
+        SELECT e.event_id, e.user_id, s.day_events, s.day_value
+        FROM events e
+        ASOF LEFT JOIN snap s
+          ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+        """
+    # range-join oracle: the raw BETWEEN predicate, no bucketing
+    d["events_in_windows"] = """
+        WITH f AS (
+          SELECT user_id, min(ts) AS t0
+          FROM events GROUP BY user_id, date_trunc('day', ts)
+        ),
+        wins AS (
+          SELECT user_id, 'early' AS win_tag, t0 AS win_start,
+                 t0 + INTERVAL 2 HOUR AS win_end FROM f
+          UNION ALL
+          SELECT user_id, 'mid', t0 + INTERVAL 1 HOUR,
+                 t0 + INTERVAL 5 HOUR FROM f
+        )
+        SELECT e.event_id, e.user_id, w.win_tag
+        FROM events e JOIN wins w
+          ON e.user_id = w.user_id
+         AND e.ts BETWEEN w.win_start AND w.win_end
         """
     # upsample oracle: replay the md5 bucket, the weight CASE, and the
     # per-row generate_series replication

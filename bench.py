@@ -156,6 +156,8 @@ def main() -> None:
         "dedup_incremental",
         "audio_features",
         "event_props",
+        "events_asof",
+        "events_in_windows",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)
