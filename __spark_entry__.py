@@ -1629,6 +1629,18 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length percentiles (p50/p90/p99, nearest-rank)
+    — the corpus QA gate pattern where approx sketches don't cut it.
+    Integer rank arithmetic (operators/stats.py) so both engines pick
+    the identical rank at exact boundaries; the oracle recomputes
+    row_number + the same DIV formula."""
+    from json_ld_spark.operators.stats import exact_percentiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_percentiles(docs, "source", "n_chars")
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join under the gate: attach to every event the most
     recent per-user daily snapshot (taken at the day's last event)
@@ -2144,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props": q_event_props,
         "events_asof": q_events_asof,
         "events_in_windows": q_events_in_windows,
+        "source_percentiles": q_source_percentiles,
         "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep": q_dedup_keep,
@@ -3218,6 +3231,22 @@ def oracle_sql() -> dict[str, str]:
               AS BIGINT) % 1000000
               < CASE source {_mix_cases}
                 ELSE {int(_MIX_DEFAULT * 1_000_000)} END
+        """
+    # exact-percentile oracle: same nearest-rank integer formula over
+    # an independent row_number
+    d["source_percentiles"] = """
+        WITH r AS (
+          SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents WHERE n_chars IS NOT NULL
+        )
+        SELECT source, p.permille, n,
+               n_chars AS value
+        FROM r CROSS JOIN (VALUES (CAST(500 AS INT)), (900), (990))
+          AS p(permille)
+        WHERE rn = (p.permille * n + 999) // 1000
         """
     # as-of oracle: DuckDB's NATIVE ASOF JOIN — an independent engine
     # feature, not a replay of the union-sort-window trick

@@ -158,6 +158,7 @@ def main() -> None:
         "event_props",
         "events_asof",
         "events_in_windows",
+        "source_percentiles",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

@@ -1200,3 +1200,38 @@ def test_audio_window_features_match_numpy(spark):
     assert checked >= 10
     # non-audio rows contribute nothing
     assert all(k[0] % 3 == 1 for k in rows)
+
+
+def test_exact_percentiles_hand_values(spark):
+    import pytest as _pytest
+
+    from json_ld_spark.operators.stats import exact_percentiles
+
+    # group g: values 1..10 — nearest-rank: p50 -> rank 5 (value 5),
+    # p90 -> rank 9, p99 -> rank ceil(9.9)=10, p100 -> rank 10
+    rows = [("g", v) for v in range(1, 11)] + [("h", 7), ("h", None)]
+    df = spark.createDataFrame(rows, "src string, x int")
+    out = {
+        (r["src"], r["permille"]): (r["n"], r["value"])
+        for r in exact_percentiles(
+            df, "src", "x", permille=(500, 900, 990, 1000)
+        ).collect()
+    }
+    assert out[("g", 500)] == (10, 5)
+    assert out[("g", 900)] == (10, 9)
+    assert out[("g", 990)] == (10, 10)
+    assert out[("g", 1000)] == (10, 10)
+    # singleton group (NULL excluded from n): every point is the value
+    assert out[("h", 500)] == (1, 7)
+    assert out[("h", 1000)] == (1, 7)
+    # the float trap this operator exists to avoid: 700‰ of 10 values
+    # must be rank 7 (0.7*10 = 7.000000000000001 would ceil to 8)
+    out7 = {
+        r["permille"]: r["value"]
+        for r in exact_percentiles(
+            df.filter(F.col("src") == "g"), "src", "x", permille=(700,)
+        ).collect()
+    }
+    assert out7[700] == 7
+    with _pytest.raises(ValueError):
+        exact_percentiles(df, "src", "x", permille=(0,))
