@@ -2098,6 +2098,189 @@ def _ivf_batch_oracle_sql() -> str:
     """
 
 
+_HLL_B = 8  # 256 registers — small enough that both correction
+# branches (linear counting for small groups, raw HLL for large) get
+# exercised by the per-event-type group sizes
+_KMV_K = 64
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event type under the gate:
+    the oracle replays bucket/rank extraction, the max-rank registers,
+    and the INTEGER-scaled harmonic sum (s_scaled) — so a wrong rank
+    rule, a dropped register, or a float-order-dependent denominator
+    all fail the hash. exact_distinct rides along so the estimate's
+    quality is visible in the gated rows themselves."""
+    from json_ld_spark.operators.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = hll_distinct(ev, "event_type", "user_id", b=_HLL_B)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(F.broadcast(exact), "event_type")
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct-user sketch per event type: the k-th
+    smallest distinct hash is an exact integer the oracle recomputes,
+    so the whole sketch state is hash-gated; groups with < k distinct
+    hashes take the exact branch (k_used < k)."""
+    from json_ld_spark.operators.sketches import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(ev, "event_type", "user_id", k=_KMV_K)
+
+
+_AA_MAX_DEGREE = 64
+
+
+def _planted_ring_edges() -> "list[tuple[str, str]]":
+    """Deterministic ring over the full gazetteer. The REAL co-mention
+    graph is a small complete clique (every distance-2 pair already
+    adjacent), which would make a link-prediction gate vacuous; the
+    ring adds sparse structure whose distance-2 pairs are genuinely
+    non-adjacent. Both engines build the identical edge list from the
+    same frozen gazetteer — the planted-positive policy the near-dup
+    oracles use."""
+    from json_ld_spark.sources.gazetteer import GAZETTEER, entity_iri
+
+    n = len(GAZETTEER)
+    return [
+        (entity_iri(GAZETTEER[i][2]), entity_iri(GAZETTEER[(i + 1) % n][2]))
+        for i in range(n)
+    ]
+
+
+def q_entity_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the constructed KG (plus the
+    planted gazetteer ring — see _planted_ring_edges): scores for
+    non-adjacent entity pairs sharing neighbors. Per-z contributions
+    are rounded to 9 dp and summed as DECIMAL so partition order
+    can't move a score; the oracle replays degrees, the hub cap, the
+    wedge join, and the adjacency anti-join."""
+    from json_ld_spark.operators.graph import adamic_adar
+
+    edges = _cooccurrence_edges(spark, sf_dir).unionByName(
+        spark.createDataFrame(_planted_ring_edges(), ["src", "dst"])
+    )
+    return adamic_adar(edges, max_degree=_AA_MAX_DEGREE).select(
+        "u", "v", "n_common", F.col("aa_score").cast("decimal(18,9)").alias("aa_score")
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup (event_type × day → event_type →
+    grand total) in ONE pass — Spark's ROLLUP and the oracle's GROUP
+    BY ROLLUP must agree on subtotal rows, grouping-id packing, and
+    decimal-exact value sums (doubles cast to DECIMAL(18,2) before
+    summing, so aggregation order is irrelevant)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+        .select("event_type", "day", "gid", "n_events", "total_value")
+    )
+
+
+def q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: per-(event_type, day) counts z-scored against
+    the type's daily distribution. Mean and variance are derived from
+    exact integer sums (n, Σc, Σc²), so the only floats are the final
+    IEEE-deterministic divisions/sqrt — the oracle replays the same
+    expression shape and the 4-dp rounded z gates bit-for-bit."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("c"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    var = (
+        (F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n_days") * F.col("n_days")).cast("double")
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days").cast("double")
+    z = F.round((F.col("c").cast("double") - mean) / F.sqrt(var), 4)
+    return j.select(
+        "event_type",
+        "day",
+        "n_days",
+        "c",
+        F.when(var > 0, z).otherwise(F.lit(0.0)).alias("z"),
+    ).withColumn("is_burst", F.col("z") >= 2.0)
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+[0-9]{1,2} [0-9]{3} [0-9]{4,8}"
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus — the pre-training redaction
+    pass. PII is PLANTED deterministically (doc_id % 7 → an email,
+    doc_id % 11 → a phone; both engines build the identical input, the
+    planted-positive pattern the near-dup oracles use), then counted
+    with regexp_extract_all and replaced with typed placeholders. The
+    md5 of the redacted text gates the exact replacement semantics
+    (all-occurrence, leftmost, non-overlapping) across engines; the
+    regexes are written in the common Java-regex/RE2 subset."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t, F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(t, F.lit(" call +1 555 "), (F.col("doc_id") % 10000) + 1000, F.lit(" today")),
+    ).otherwise(t)
+    staged = docs.select("doc_id", t.alias("_t"))
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("_t"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return staged.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("_t"), F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("_t"), F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum assignment: per-source EXACT quartile
+    boundaries (the integer nearest-rank percentiles of
+    operators/stats.py) broadcast back onto the corpus; bucket =
+    number of boundaries strictly below the doc's length. No global
+    sort — one per-source window for the boundaries, then a broadcast
+    join; the oracle replays the rank arithmetic and the comparison
+    count."""
+    from json_ld_spark.operators.stats import exact_percentiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bounds = exact_percentiles(docs, "source", "n_chars", permille=(250, 500, 750))
+    j = docs.select("doc_id", "source", "n_chars").join(
+        F.broadcast(bounds.select("source", "value")), "source"
+    )
+    return j.groupBy("doc_id", "source", "n_chars").agg(
+        F.sum(F.when(F.col("n_chars") > F.col("value"), 1).otherwise(0))
+        .cast("int")
+        .alias("bucket")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline at sf0.001."""
     return _triples(spark, SF_SMALL).select(
@@ -2157,6 +2340,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_in_windows": q_events_in_windows,
         "source_percentiles": q_source_percentiles,
+        "hll_distinct_users": q_hll_distinct_users,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "entity_adamic_adar": q_entity_adamic_adar,
+        "events_rollup": q_events_rollup,
+        "event_bursts": q_event_bursts,
+        "pii_redaction": q_pii_redaction,
+        "curriculum_buckets": q_curriculum_buckets,
         "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep": q_dedup_keep,
@@ -3247,6 +3437,197 @@ def oracle_sql() -> dict[str, str]:
         FROM r CROSS JOIN (VALUES (CAST(500 AS INT)), (900), (990))
           AS p(permille)
         WHERE rn = (p.permille * n + 999) // 1000
+        """
+    # HLL oracle: replays bucket/rank extraction, max-rank registers,
+    # and the integer-scaled harmonic sum; the one float division uses
+    # the SAME python-precomputed double literal as the Spark side
+    from json_ld_spark.operators.sketches import _alpha
+
+    _hll_m = 1 << _HLL_B
+    _hll_rem_bits = 60 - _HLL_B
+    _hll_pow = 1 << _hll_rem_bits
+    _hll_scale = 1 << 51
+    _hll_const = repr(_alpha(_hll_m) * _hll_m * _hll_m * float(_hll_scale))
+    d["hll_distinct_users"] = f"""
+        WITH h AS (
+          SELECT event_type,
+                 CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        rk AS (
+          SELECT event_type, h // {_hll_pow} AS bucket,
+                 CASE WHEN h % {_hll_pow} = 0 THEN {_hll_rem_bits + 1}
+                      ELSE {_hll_rem_bits} - length(bin(h % {_hll_pow})) + 1
+                 END AS rank
+          FROM h
+        ),
+        regs AS (
+          SELECT event_type, bucket, max(rank) AS r FROM rk GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT event_type, count(*) AS nonempty,
+                 sum(CASE WHEN r <= 51
+                          THEN (CAST(1 AS BIGINT) << (51 - r))
+                          ELSE 0 END) AS s_nonempty
+          FROM regs GROUP BY 1
+        ),
+        s AS (
+          SELECT event_type, nonempty,
+                 CAST(s_nonempty + ({_hll_m} - nonempty) * {_hll_scale}
+                      AS BIGINT) AS s_scaled
+          FROM g
+        ),
+        e AS (
+          SELECT event_type, nonempty, s_scaled,
+                 {_hll_const} / CAST(s_scaled AS DOUBLE) AS raw,
+                 {_hll_m} - nonempty AS zeros
+          FROM s
+        )
+        SELECT e.event_type, CAST({_hll_m} AS INT) AS m, nonempty, s_scaled,
+               round(CASE WHEN raw <= {2.5 * _hll_m} AND zeros > 0
+                          THEN {float(_hll_m)!r}
+                               * ln({float(_hll_m)!r} / CAST(zeros AS DOUBLE))
+                          ELSE raw END, 2) AS est,
+               x.exact_distinct
+        FROM e JOIN (
+          SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY 1
+        ) x USING (event_type)
+        """
+    # KMV oracle: the k-th smallest distinct hash is an exact integer
+    d["kmv_distinct_users"] = f"""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        b AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h
+        ),
+        a AS (
+          SELECT event_type, count(*) AS k_used, max(h) AS kth_hash
+          FROM b WHERE rn <= {_KMV_K} GROUP BY 1
+        )
+        SELECT event_type, k_used, kth_hash,
+               round(CASE WHEN k_used < {_KMV_K} THEN CAST(k_used AS DOUBLE)
+                          ELSE {float(_KMV_K - 1)!r} * {float(1 << 60)!r}
+                               / CAST(kth_hash AS DOUBLE) END, 2) AS est
+        FROM a
+        """
+    # Adamic–Adar oracle: degrees, hub cap, wedge join, decimal
+    # contribution sum, adjacency anti-join — all replayed
+    _ring = _planted_ring_edges()
+    _ring_vals = ", ".join(
+        f"('{a}', '{b}'), ('{b}', '{a}')" for a, b in _ring
+    )
+    d["entity_adamic_adar"] = _MENTION_CTE + f"""
+        , e0 AS (
+          SELECT ma.iri AS s, mb.iri AS t
+          FROM m ma JOIN m mb
+            ON ma.conv_id = mb.conv_id AND ma.turn_idx = mb.turn_idx
+           AND ma.iri <> mb.iri
+          UNION
+          SELECT * FROM (VALUES {_ring_vals}) p(s, t)
+        ),
+        deg AS (SELECT s, count(*) AS d FROM e0 GROUP BY 1),
+        mid AS (
+          SELECT e0.s AS z, e0.t AS n,
+                 CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 9)
+                      AS DECIMAL(18,9)) AS w
+          FROM e0 JOIN deg ON deg.s = e0.s
+          WHERE d <= {_AA_MAX_DEGREE}
+        ),
+        pairs AS (
+          SELECT a.n AS u, b.n AS v, a.w
+          FROM mid a JOIN mid b ON a.z = b.z AND a.n < b.n
+        ),
+        sc AS (
+          SELECT u, v, count(*) AS n_common,
+                 CAST(sum(w) AS DECIMAL(18,9)) AS aa_score
+          FROM pairs GROUP BY 1, 2
+        )
+        SELECT sc.* FROM sc
+        WHERE NOT EXISTS (SELECT 1 FROM e0
+                          WHERE e0.s = sc.u AND e0.t = sc.v)
+        """
+    d["events_rollup"] = """
+        SELECT event_type, day,
+               CAST(GROUPING(event_type, day) AS INT) AS gid,
+               count(*) AS n_events,
+               CAST(sum(v) AS DECIMAL(18,2)) AS total_value
+        FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(value AS DECIMAL(18,2)) AS v
+              FROM events)
+        GROUP BY ROLLUP(event_type, day)
+        """
+    d["event_bursts"] = """
+        WITH d AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT event_type, count(*) AS n_days,
+                 CAST(sum(c) AS BIGINT) AS s1,
+                 CAST(sum(c * c) AS BIGINT) AS s2
+          FROM d GROUP BY 1
+        ),
+        j AS (
+          SELECT d.event_type, d.day, s.n_days, d.c,
+                 CASE WHEN n_days * s2 - s1 * s1 > 0
+                      THEN round((CAST(c AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+                                 / sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+                                        / CAST(n_days * n_days AS DOUBLE)), 4)
+                      ELSE 0.0 END AS z
+          FROM d JOIN s USING (event_type)
+        )
+        SELECT event_type, day, n_days, c, z, z >= 2.0 AS is_burst FROM j
+        """
+    d["pii_redaction"] = f"""
+        WITH staged AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0
+                 THEN t || ' call +1 555 ' || CAST(doc_id % 10000 + 1000 AS VARCHAR)
+                        || ' today'
+                 ELSE t END AS t
+          FROM (
+            SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0
+                   THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com now'
+                   ELSE text END AS t
+            FROM documents
+          )
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INT) AS n_phones,
+               md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+        FROM staged
+        """
+    d["curriculum_buckets"] = """
+        WITH r AS (
+          SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents WHERE n_chars IS NOT NULL
+        ),
+        bounds AS (
+          SELECT source, n_chars AS value
+          FROM r CROSS JOIN (VALUES (250), (500), (750)) AS p(permille)
+          WHERE rn = (p.permille * n + 999) // 1000
+        )
+        SELECT d.doc_id, d.source, d.n_chars,
+               CAST(sum(CASE WHEN d.n_chars > b.value THEN 1 ELSE 0 END)
+                    AS INT) AS bucket
+        FROM documents d JOIN bounds b USING (source)
+        GROUP BY 1, 2, 3
         """
     # as-of oracle: DuckDB's NATIVE ASOF JOIN — an independent engine
     # feature, not a replay of the union-sort-window trick

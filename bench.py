@@ -159,6 +159,13 @@ def main() -> None:
         "events_asof",
         "events_in_windows",
         "source_percentiles",
+        "hll_distinct_users",
+        "kmv_distinct_users",
+        "entity_adamic_adar",
+        "events_rollup",
+        "event_bursts",
+        "pii_redaction",
+        "curriculum_buckets",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

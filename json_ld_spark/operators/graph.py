@@ -358,3 +358,59 @@ def label_propagation(
         )
         labels = cut_lineage(labels, checkpoint_dir, eager=False)
     return labels
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: "int | None" = 64,
+    contrib_dp: int = 9,
+) -> DataFrame:
+    """(u, v, n_common, aa_score): Adamic–Adar link-prediction scores
+    for NON-adjacent entity pairs at distance 2 — "which entities
+    should probably be linked" over the constructed KG.
+
+    score(u, v) = Σ_{z ∈ Γ(u) ∩ Γ(v)} 1 / ln(deg z). Wedges are
+    generated at the common neighbor z (one self-join on the
+    symmetrized edge list keyed on z), then adjacent pairs are
+    anti-joined out.
+
+    Determinism: each z's contribution is rounded to ``contrib_dp``
+    decimals and summed as DECIMAL, so the per-pair total is exact
+    integer arithmetic underneath — partition/summation order cannot
+    move the score (the same policy as the decimal revenue sums).
+
+    Scale: a hub with degree d emits O(d²) wedges; ``max_degree``
+    drops hub middles (their contribution ≈ 1/ln(d) → the SMALLEST
+    terms, so this is the standard truncation, not a bias toward big
+    scores). The oracle replays the cap, so the approximation is
+    itself gated. deg(z) ≥ 2 wherever a wedge exists, so ln > 0."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .filter(F.col("s") != F.col("t"))
+        .dropDuplicates()
+    )
+    deg = sym.groupBy("s").agg(F.count("*").alias("d"))
+    mid = sym.join(deg, "s")
+    if max_degree is not None:
+        mid = mid.filter(F.col("d") <= max_degree)
+    contrib = F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), contrib_dp).cast(
+        "decimal(18,9)"
+    )
+    z = mid.select(
+        F.col("s").alias("z"), F.col("t").alias("n"), contrib.alias("w")
+    )
+    a, b = z.alias("a"), z.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.z") == F.col("b.z")) & (F.col("a.n") < F.col("b.n")),
+    ).select(
+        F.col("a.n").alias("u"), F.col("b.n").alias("v"), F.col("a.w").alias("w")
+    )
+    scored = pairs.groupBy("u", "v").agg(
+        F.count("*").alias("n_common"), F.sum("w").alias("aa_score")
+    )
+    adj = sym.select(F.col("s").alias("u"), F.col("t").alias("v"))
+    return scored.join(adj, ["u", "v"], "left_anti")

@@ -1,0 +1,171 @@
+"""Distinct-count sketches with ENGINE-REPLAYABLE determinism.
+
+At 100 TB, ``count(distinct x)`` per group is a full shuffle of every
+distinct value; sketches bound that to a constant per group. Spark's
+own ``approx_count_distinct`` is a fine production default, but its
+HLL++ registers are an implementation detail no other engine
+reproduces — nothing can gate it. These two sketches use the repo's
+cross-engine hash family (md5 prefix → 60-bit integer, the same
+family the dedup oracles replay: ``operators/dedup.py:md5_hash60``)
+and keep EVERY intermediate in exact integer arithmetic, so the
+DuckDB oracle replays register contents and estimates bit-for-bit:
+
+- ``hll_distinct`` — classic HyperLogLog (Flajolet et al. 2007):
+  bucket = top ``b`` hash bits, rank = leading zeros of the
+  remainder + 1, register = max rank per bucket. The harmonic-mean
+  denominator Σ 2^-rank is order-dependent in floats, so it is
+  computed SCALED BY 2^51 in integer space (rank ≤ 55 for b ≥ 5;
+  terms shiftleft(1, 51-rank), truncating only ranks > 51 — a
+  deterministic truncation both engines share; with b=6..10 the
+  scaled sum stays far below 2^63). One float division at the end
+  of exact integers is IEEE-identical everywhere.
+- ``kmv_distinct`` — bottom-k (K-Minimum-Values, Bar-Yossef et al.
+  2002): keep the k smallest DISTINCT hash values per group;
+  estimate (k-1) · 2^60 / h_(k). The k-th hash is an exact integer;
+  the one division is again IEEE-deterministic.
+
+Scale design: both are single-pass groupBy aggregations — map-side
+partial (max per bucket / bottom-k per partition) then one shuffle on
+the group key; register state is O(2^b) / O(k) per group regardless
+of input size, and registers MERGE by max / by bottom-k union, so the
+same code runs incrementally over append-only corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from json_ld_spark.operators.dedup import md5_hash60
+
+_HASH_BITS = 60
+_SCALE_SHIFT = 51  # Σ 2^-rank carried as Σ 2^(51-rank), exact bigint
+
+
+def _alpha(m: int) -> float:
+    # standard HLL bias constant; callers use m >= 64 where the
+    # asymptotic form applies
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    b: int = 10,
+) -> DataFrame:
+    """(group, m, nonempty, s_scaled, est): HyperLogLog distinct
+    estimate per group with 2^``b`` registers.
+
+    ``s_scaled`` (the exact-integer harmonic denominator) and
+    ``nonempty`` ARE the sketch — they gate the whole register
+    computation; ``est`` is the one float at the end, rounded to 2 dp.
+    Small-range (linear-counting) correction applies when the raw
+    estimate ≤ 2.5·m and empty registers remain, exactly as
+    published."""
+    if not 4 <= b <= 12:
+        raise ValueError("b must be in [4, 12] (register count 16..4096)")
+    m = 1 << b
+    rem_bits = _HASH_BITS - b
+    h = md5_hash60(F.col(value_col).cast("string"))
+    bucket = F.shiftright(h, rem_bits)
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    # leading zeros of rem within rem_bits, +1:  bitlength via bin()
+    # (both engines return '0' for 0, so 0 is special-cased)
+    rank = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits) - F.length(F.bin(rem)) + 1
+    )
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("group"), bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("group", "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    # Σ 2^(51-r) over non-empty registers; ranks past the scale shift
+    # truncate to 0 in BOTH engines (identical deterministic loss)
+    term = F.when(
+        F.col("r") <= _SCALE_SHIFT,
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {_SCALE_SHIFT} - r)"),
+    ).otherwise(F.lit(0).cast("long"))
+    per_group = regs.groupBy("group").agg(
+        F.count("*").alias("nonempty"),
+        F.sum(term).alias("s_nonempty"),
+    )
+    # empty registers contribute 2^-0 = 1 → 2^51 each, in integers
+    s_scaled = (
+        F.col("s_nonempty")
+        + (F.lit(m) - F.col("nonempty")) * F.lit(1 << _SCALE_SHIFT)
+    ).cast("long")
+    const = _alpha(m) * m * m * float(1 << _SCALE_SHIFT)  # python float,
+    # embedded as a literal so both engines divide the SAME double
+    raw = F.lit(const) / F.col("s_scaled").cast("double")
+    zeros = F.lit(m) - F.col("nonempty")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return (
+        per_group.withColumn("s_scaled", s_scaled)
+        .select(
+            F.col("group").alias(group_col),
+            F.lit(m).alias("m"),
+            "nonempty",
+            "s_scaled",
+            F.round(est, 2).alias("est"),
+        )
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """(group, k_used, kth_hash, est): bottom-k distinct estimate per
+    group. If a group has fewer than ``k`` distinct hashes the sketch
+    is EXACT (est = number of distinct hashes, kth_hash = the max);
+    otherwise est = (k-1) · 2^60 / h_(k) with h_(k) the k-th smallest
+    distinct hash — the published unbiased KMV estimator.
+
+    The bottom-k set is found with a per-group window over DISTINCT
+    hashes; at scale the distinct step is the map-side combine and the
+    window sees at most the distinct hashes per group (itself
+    shrinkable by a pre-aggregation min-k per partition if a group's
+    distinct count is extreme)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = md5_hash60(F.col(value_col).cast("string"))
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("group"), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("group").orderBy("h")
+    bottom = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    agg = bottom.groupBy("group").agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(1 << _HASH_BITS))
+        / F.col("kth_hash").cast("double")
+    )
+    return agg.select(
+        F.col("group").alias(group_col),
+        "k_used",
+        "kth_hash",
+        F.round(est, 2).alias("est"),
+    )

@@ -1235,3 +1235,53 @@ def test_exact_percentiles_hand_values(spark):
     assert out7[700] == 7
     with _pytest.raises(ValueError):
         exact_percentiles(df, "src", "x", permille=(0,))
+
+
+def test_hll_and_kmv_estimates_track_exact(spark):
+    from json_ld_spark.operators.sketches import hll_distinct, kmv_distinct
+
+    # 3000 distinct values in group A, 40 in group B (below k → KMV exact)
+    rows = [("A", i) for i in range(3000)] + [("B", 10_000 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    hll = {r["g"]: r for r in hll_distinct(df, "g", "v", b=10).collect()}
+    assert hll["A"]["m"] == 1024
+    # standard error for m=1024 is ~3.25%; allow 4 sigma
+    assert abs(hll["A"]["est"] - 3000) / 3000 < 0.13
+    assert abs(hll["B"]["est"] - 40) / 40 < 0.2
+    kmv = {r["g"]: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert kmv["B"]["k_used"] == 40 and kmv["B"]["est"] == 40.0
+    assert kmv["A"]["k_used"] == 64
+    assert abs(kmv["A"]["est"] - 3000) / 3000 < 0.5
+
+    # duplicates must not move either sketch (distinct semantics)
+    dup = df.union(df)
+    hll2 = {r["g"]: r["s_scaled"] for r in hll_distinct(dup, "g", "v", b=10).collect()}
+    assert hll2["A"] == hll["A"]["s_scaled"]
+    kmv2 = {r["g"]: r["kth_hash"] for r in kmv_distinct(dup, "g", "v", k=64).collect()}
+    assert kmv2["A"] == kmv["A"]["kth_hash"]
+
+
+def test_adamic_adar_star_and_anti_join(spark):
+    import math
+    from decimal import Decimal
+
+    from json_ld_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [("z", "a"), ("z", "b"), ("z", "c")], "src string, dst string"
+    )
+    out = {(r["u"], r["v"]): r for r in adamic_adar(edges).collect()}
+    # star center z has degree 3: all 3 leaf pairs score 1/ln(3)
+    w = Decimal(str(round(1.0 / math.log(3.0), 9)))
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert all(r["n_common"] == 1 and r["aa_score"] == w for r in out.values())
+
+    # adjacent pairs are anti-joined out
+    edges2 = edges.union(
+        spark.createDataFrame([("a", "b")], "src string, dst string")
+    )
+    out2 = {(r["u"], r["v"]) for r in adamic_adar(edges2).collect()}
+    assert ("a", "b") not in out2 and ("a", "c") in out2
+
+    # hub cap: degree-3 middle dropped when max_degree=2
+    assert adamic_adar(edges, max_degree=2).count() == 0
