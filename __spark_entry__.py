@@ -2281,6 +2281,38 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF (LZW) decode under the hash gate: every payload is a
+    genuine GIF89a stream — palette, sub-blocks, variable-width LZW
+    with table growth — encoded and decoded by operators/gif.py. GIF
+    is lossless, so the oracle replays the closed-form 8×8 block
+    colors directly; a wrong palette order, a broken KwKwK case, or a
+    mis-synced code width all corrupt the decoded statistics."""
+    from json_ld_spark.operators.multimodal import (
+        decode_stats,
+        synthesize_gif_media,
+    )
+
+    return decode_stats(synthesize_gif_media(spark, _N_MEDIA))
+
+
+def q_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode under the gate: WAV fmt-0x11 IMA
+    ADPCM payloads (block headers, low-nibble-first packing,
+    adaptive-delta state machine — operators/adpcm.py, whose core is
+    unit-tested nibble-for-nibble against stdlib audioop). The DuckDB
+    oracle replays the published IMA state machine sample-for-sample
+    in a recursive CTE over the same closed-form nibble stream, so a
+    wrong step-table entry, clamp order, or nibble order fails the
+    hash."""
+    from json_ld_spark.operators.multimodal import (
+        decode_stats,
+        synthesize_adpcm_media,
+    )
+
+    return decode_stats(synthesize_adpcm_media(spark, _N_MEDIA))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline at sf0.001."""
     return _triples(spark, SF_SMALL).select(
@@ -2347,6 +2379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_bursts": q_event_bursts,
         "pii_redaction": q_pii_redaction,
         "curriculum_buckets": q_curriculum_buckets,
+        "gif_decode": q_gif_decode,
+        "adpcm_decode": q_adpcm_decode,
         "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep": q_dedup_keep,
@@ -3628,6 +3662,90 @@ def oracle_sql() -> dict[str, str]:
                     AS INT) AS bucket
         FROM documents d JOIN bounds b USING (source)
         GROUP BY 1, 2, 3
+        """
+    # GIF oracle: lossless codec → decoded channel stats equal the
+    # closed-form block colors with no transform replay; dims are
+    # multiples of 8 so every block is a full 64 pixels
+    d["gif_decode"] = f"""
+        WITH m AS (SELECT range AS id FROM range({_N_MEDIA})),
+        g AS (
+          SELECT id AS media_id, (id % 8) * 8 + 8 AS w,
+                 (id % 4) * 8 + 8 AS h
+          FROM m
+        ),
+        blk AS (
+          SELECT media_id,
+                 unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS b
+          FROM g
+        ),
+        rgb AS (
+          SELECT media_id, b,
+                 (media_id * 7 + b * 13) % 256 AS r,
+                 (media_id * 11 + b * 17) % 256 AS g2,
+                 (media_id * 5 + b * 19) % 256 AS bl
+          FROM blk
+        )
+        SELECT media_id, 'image' AS kind, ch.part,
+               CAST(sum(64) AS BIGINT) AS n_values,
+               CAST(sum(64 * CASE ch.part WHEN 0 THEN r
+                              WHEN 1 THEN g2 ELSE bl END) AS BIGINT)
+                 AS sum_values,
+               CAST(min(CASE ch.part WHEN 0 THEN r
+                        WHEN 1 THEN g2 ELSE bl END) AS BIGINT)
+                 AS min_value,
+               CAST(max(CASE ch.part WHEN 0 THEN r
+                        WHEN 1 THEN g2 ELSE bl END) AS BIGINT)
+                 AS max_value
+        FROM rgb
+        CROSS JOIN (VALUES (CAST(0 AS INT)), (1), (2)) AS ch(part)
+        GROUP BY 1, 3
+        """
+    # IMA-ADPCM oracle: the published decode state machine replayed
+    # sample-for-sample in a recursive CTE — step table as a literal,
+    # magnitude/sign/clamp arithmetic inline, seed sample included
+    from json_ld_spark.operators.adpcm import STEP_TABLE as _ADPCM_STEPS
+
+    _steps_lit = "[" + ", ".join(map(str, _ADPCM_STEPS)) + "]"
+    d["adpcm_decode"] = f"""
+        WITH RECURSIVE b AS (
+          SELECT id AS media_id,
+                 unnest(generate_series(0, 2 + id % 3 - 1)) AS blk
+          FROM (SELECT range AS id FROM range({_N_MEDIA}))
+        ),
+        steps AS (
+          SELECT media_id, blk, -1 AS j,
+                 ((media_id * 31 + blk * 17) % 65536) - 32768 AS pred,
+                 (media_id + blk * 13) % 89 AS idx
+          FROM b
+          UNION ALL
+          SELECT media_id, blk, j,
+                 greatest(-32768, least(32767,
+                   CASE WHEN nib >= 8 THEN pred - mag
+                        ELSE pred + mag END)) AS pred,
+                 greatest(0, least(88, idx +
+                   CASE nib % 8 WHEN 4 THEN 2 WHEN 5 THEN 4
+                        WHEN 6 THEN 6 WHEN 7 THEN 8
+                        ELSE -1 END)) AS idx
+          FROM (
+            SELECT media_id, blk, j, pred, idx, nib, step,
+                   (step // 8)
+                   + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END
+                   + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+                   + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END AS mag
+            FROM (
+              SELECT media_id, blk, j + 1 AS j, pred, idx,
+                     (media_id * 3 + blk * 5 + (j + 1) * 7) % 16 AS nib,
+                     list_extract({_steps_lit}, idx + 1) AS step
+              FROM steps WHERE j + 1 < 64
+            )
+          )
+        )
+        SELECT media_id, 'audio' AS kind, CAST(0 AS INT) AS part,
+               CAST(count(*) AS BIGINT) AS n_values,
+               CAST(sum(pred) AS BIGINT) AS sum_values,
+               CAST(min(pred) AS BIGINT) AS min_value,
+               CAST(max(pred) AS BIGINT) AS max_value
+        FROM steps GROUP BY 1
         """
     # as-of oracle: DuckDB's NATIVE ASOF JOIN — an independent engine
     # feature, not a replay of the union-sort-window trick

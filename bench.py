@@ -166,6 +166,8 @@ def main() -> None:
         "event_bursts",
         "pii_redaction",
         "curriculum_buckets",
+        "gif_decode",
+        "adpcm_decode",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

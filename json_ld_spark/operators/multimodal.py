@@ -11,8 +11,10 @@ stdlib-decodable container formats:
     ``decode_video_frames`` (per-frame sampling decodes only the
     sampled frames' bytes).
 
-Compressed codecs (JPEG/MP3/H.264) need external libraries this
-container doesn't ship; for those payloads the decoders raise
+Compressed codecs implemented natively: PNG (zlib), baseline JPEG
+(operators/jpeg.py), GIF/LZW (operators/gif.py), IMA ADPCM audio
+(operators/adpcm.py). The rest (MP3/H.264) need external libraries
+this container doesn't ship; for those payloads the decoders raise
 ``NotImplementedError`` in strict mode or fall back to a
 deterministic digest-derived fake (plumbing tests). Swapping in
 Pillow/torchaudio/pyav extends the same three functions — the
@@ -288,6 +290,16 @@ def decode_image(
             # surfaces it — that remains the Pillow swap-in point
             if strict:
                 raise
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from json_ld_spark.operators.gif import decode_gif
+
+        try:
+            return decode_gif(payload)
+        except (ValueError, IndexError, struct.error):
+            # out-of-subset GIF (interlace, local palettes): strict
+            # surfaces it — the documented capability boundary
+            if strict:
+                raise
     if payload[:2] == b"P6":
         try:
             w, h, pixels, _ = _parse_ppm(payload)
@@ -313,6 +325,17 @@ def decode_audio(
     via the stdlib ``wave`` module. Non-WAV payloads: strict raises,
     non-strict falls back to the digest fake."""
     if payload[:4] == b"RIFF":
+        # fmt-tag peek: IMA ADPCM (0x11) dispatches to the real
+        # adaptive-delta decoder; PCM16 stays on the stdlib wave path
+        if payload[12:16] == b"fmt " and len(payload) >= 22 and struct.unpack_from("<H", payload, 20)[0] == 0x11:
+            from json_ld_spark.operators.adpcm import parse_ima_wav
+
+            try:
+                return parse_ima_wav(payload)
+            except (ValueError, struct.error):
+                if strict:
+                    raise
+                return 0, 0, hashlib.sha256(payload).digest()
         try:
             with wave.open(io.BytesIO(payload), "rb") as w:
                 if w.getsampwidth() != 2 or w.getnchannels() != 1:
@@ -710,4 +733,91 @@ def resize_plan(media: DataFrame, max_side: int = 128) -> DataFrame:
         h.alias("height"),
         F.ceil(w * scale).cast("int").alias("target_width"),
         F.ceil(h * scale).cast("int").alias("target_height"),
+    )
+
+
+def synthesize_gif_media(spark: SparkSession, n: int = 240) -> DataFrame:
+    """Deterministic GIF corpus: every payload is a REAL GIF89a
+    stream (palette + variable-width LZW, operators/gif.py) whose
+    pixels are the closed-form 8×8 block RGB of
+    _jpeg_color_block_rgb — GIF is lossless, so the SQL oracle can
+    gate decoded channel statistics against the block closed form
+    with no transform replay."""
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from json_ld_spark.operators.gif import encode_gif
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = _image_dims(mid)
+                bw, bh = w // 8, h // 8
+                grid = _jpeg_color_block_rgb(mid, bw * bh).reshape(bh, bw, 3)
+                full = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+                payload = encode_gif(w, h, full.astype(np.uint8).tobytes())
+                rows.append(
+                    (mid, "image", payload, (w, h, None, None, "gif"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(
+        _gen,
+        schema=(
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int, height:int, sample_rate:int, "
+            "n_frames:int, codec:string>"
+        ),
+    )
+
+
+ADPCM_BLOCK_ALIGN = 36  # 4-byte header + 32 nibble bytes → 65 samples
+
+
+def synthesize_adpcm_media(spark: SparkSession, n: int = 240) -> DataFrame:
+    """Deterministic IMA-ADPCM corpus: every payload is a real WAV
+    fmt-0x11 stream (operators/adpcm.py). The NIBBLE stream and block
+    seeds are closed forms of (media_id, block, position) — so the
+    decoded samples are a pure function the SQL oracle replays by
+    stepping the published IMA state machine in a recursive CTE:
+      pred0 = ((mid·31 + blk·17) % 65536) − 32768
+      idx0  = (mid + blk·13) % 89
+      nib_j = (mid·3 + blk·5 + j·7) % 16,  j < 64
+    blocks per payload = 2 + mid % 3."""
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from json_ld_spark.operators.adpcm import build_ima_wav
+
+        n_nib = (ADPCM_BLOCK_ALIGN - 4) * 2
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                blocks = []
+                for blk in range(2 + mid % 3):
+                    pred0 = ((mid * 31 + blk * 17) % 65536) - 32768
+                    idx0 = (mid + blk * 13) % 89
+                    nibs = [
+                        (mid * 3 + blk * 5 + j * 7) % 16
+                        for j in range(n_nib)
+                    ]
+                    blocks.append((pred0, idx0, nibs))
+                payload = build_ima_wav(blocks, AUDIO_RATE, ADPCM_BLOCK_ALIGN)
+                rows.append(
+                    (mid, "audio", payload,
+                     (None, None, AUDIO_RATE, None, "ima-adpcm"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(
+        _gen,
+        schema=(
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int, height:int, sample_rate:int, "
+            "n_frames:int, codec:string>"
+        ),
     )

@@ -559,3 +559,114 @@ def test_jpeg_flows_through_decode_image_and_stats(spark):
             sorted(rows, key=lambda x: x["media_id"]),
         )
     )
+
+
+def test_gif_lzw_roundtrip_adversarial():
+    import random
+
+    from json_ld_spark.operators.gif import decode_gif, encode_gif
+
+    rng = random.Random(7)
+    for trial in range(40):
+        w = rng.choice([8, 16, 24, 64, 128])
+        h = rng.choice([8, 16, 32, 64])
+        mode = trial % 4
+        px = bytearray()
+        if mode == 0:  # long runs (block images)
+            pal = [(rng.randrange(256),) * 3
+                   for _ in range(rng.choice([1, 2, 3, 17]))]
+            for i in range(w * h):
+                px += bytes(pal[(i // 64) % len(pal)])
+        elif mode == 1:  # 256-color noise → 12-bit codes + table reset
+            for i in range(w * h):
+                v = rng.randrange(256)
+                px += bytes((v, (v * 7) % 256, (v * 13) % 256))
+        elif mode == 2:  # 2-color stripes → KwKwK-heavy
+            for i in range(w * h):
+                px += bytes(((i % 2) * 255,) * 3)
+        else:
+            for i in range(w * h):
+                v = (i * 37) % 251
+                px += bytes((v, (v * 3) % 256, (v * 5) % 256))
+        enc = encode_gif(w, h, bytes(px))
+        assert decode_gif(enc) == (w, h, bytes(px)), (trial, mode)
+
+
+def test_gif_rejects_out_of_subset():
+    import pytest
+
+    from json_ld_spark.operators.gif import decode_gif, encode_gif
+
+    with pytest.raises(ValueError):
+        encode_gif(2, 2, bytes(range(12)) * 0 + bytes(11))  # bad length
+    enc = bytearray(encode_gif(8, 8, bytes(8 * 8 * 3)))
+    enc[10] &= 0x7F  # drop global-color-table flag
+    with pytest.raises(ValueError):
+        decode_gif(bytes(enc))
+
+
+def test_adpcm_matches_audioop_and_container():
+    """Core encode/decode vs stdlib audioop — an independent C
+    implementation of the same IMA/DVI variant (audioop packs HIGH
+    nibble first; the WAV container low-first, covered below)."""
+    import math
+    import struct
+    import warnings
+
+    from json_ld_spark.operators.adpcm import (
+        build_ima_wav,
+        decode_nibbles,
+        encode_samples,
+        parse_ima_wav,
+    )
+
+    pcm = [int(10000 * math.sin(i / 10)) + (i * 37) % 301 - 150
+           for i in range(2000)]
+    nib, _, _ = encode_samples(pcm, 0, 0)
+    dec = decode_nibbles(nib, 0, 0)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+    except ImportError:
+        audioop = None
+    if audioop is not None:
+        raw = struct.pack(f"<{len(pcm)}h", *pcm)
+        adp, _ = audioop.lin2adpcm(raw, 2, None)
+        anibs = []
+        for b in adp:
+            anibs.extend((b >> 4, b & 0xF))
+        assert anibs == nib
+        lin, _ = audioop.adpcm2lin(adp, 2, None)
+        assert list(struct.unpack(f"<{len(pcm)}h", lin)) == dec
+
+    # container round trip: block framing emits the seed sample first
+    blocks = []
+    for blk in range(3):
+        nibs = [(5 * blk + 7 * j) % 16 for j in range(64)]
+        blocks.append((blk * 100 - 50, (blk * 7) % 89, nibs))
+    wav = build_ima_wav(blocks, 16000, 36)
+    rate, n, pcm2 = parse_ima_wav(wav)
+    assert (rate, n) == (16000, 65 * 3)
+    exp = []
+    for pred0, idx0, nibs in blocks:
+        exp += [pred0] + decode_nibbles(nibs, pred0, idx0)
+    assert list(struct.unpack(f"<{n}h", pcm2)) == exp
+
+
+def test_decode_audio_dispatches_adpcm_and_pcm(spark):
+    from json_ld_spark.operators.multimodal import (
+        decode_stats,
+        synthesize_adpcm_media,
+        synthesize_decodable_media,
+    )
+
+    adpcm_rows = decode_stats(synthesize_adpcm_media(spark, 12)).collect()
+    assert len(adpcm_rows) == 12
+    assert all(r["n_values"] == 65 * (2 + r["media_id"] % 3)
+               for r in adpcm_rows)
+    # pcm16 path unchanged by the fmt-tag dispatch
+    pcm_rows = decode_stats(
+        synthesize_decodable_media(spark, 12).filter("kind = 'audio'")
+    ).collect()
+    assert pcm_rows and all(r["kind"] == "audio" for r in pcm_rows)
