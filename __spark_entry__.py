@@ -2281,6 +2281,91 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel (view → click → purchase): per-user
+    earliest completion times and stage reached. K tiny per-user
+    aggregations (one hash shuffle each); the oracle replays the
+    step-k-after-step-(k−1) min chain with CTEs, so an unordered
+    funnel (ignoring timestamps) or an off-by-one stage count fails
+    the hash."""
+    from json_ld_spark.operators.events import funnel_conversion
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_conversion(ev, _FUNNEL_STEPS)
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle retention: cohort = first active day per user,
+    distinct actives per (cohort, day offset)."""
+    from json_ld_spark.operators.events import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over per-user event sequences
+    (total order: ts then event_id), with integer-division row
+    probabilities rounded to 6 dp."""
+    from json_ld_spark.operators.events import event_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_transitions(ev)
+
+
+_BM25_TERMS = ["spark", "table", "query", "row", "join"]
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scores for a fixed query-term set, top-10
+    docs per term. N and total corpus length are counted recipe
+    parameters (the PageRank-N policy) so avgdl is the identical
+    double in both engines; the 6-dp rounded score gates idf, length
+    normalization, and the ranking."""
+    from json_ld_spark.operators.textstats import bm25_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    stats = (
+        docs.select(norm.alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select(F.size(F.split(F.col("_t"), " ")).alias("_n"))
+        .agg(F.count("*").alias("n"), F.sum("_n").alias("total"))
+        .collect()[0]  # 1-row recipe parameters
+    )
+    return bm25_scores(
+        docs, _BM25_TERMS, int(stats["n"]), int(stats["total"]),
+        k1=_BM25_K1, b=_BM25_B, k=_BM25_K,
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max uint8 quantization of the embedding
+    table; integer summaries (incl. a dimension-weighted checksum)
+    gate the whole code assignment."""
+    from json_ld_spark.operators.similarity import embedding_quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_quantize(emb)
+
+
+_WSAMPLE_K = 64
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES /
+    Efraimidis-Spirakis) by document length: integer-only output, the
+    ln(u)/w key orders inside the plan only."""
+    from json_ld_spark.operators.corpus import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(docs, k=_WSAMPLE_K)
+
+
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF (LZW) decode under the hash gate: every payload is a
     genuine GIF89a stream — palette, sub-blocks, variable-width LZW
@@ -2381,6 +2466,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_buckets": q_curriculum_buckets,
         "gif_decode": q_gif_decode,
         "adpcm_decode": q_adpcm_decode,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "event_transitions": q_event_transitions,
+        "bm25_scores": q_bm25_scores,
+        "embedding_quantize": q_embedding_quantize,
+        "weighted_sample": q_weighted_sample,
         "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep": q_dedup_keep,
@@ -3746,6 +3837,129 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(pred) AS BIGINT) AS min_value,
                CAST(max(pred) AS BIGINT) AS max_value
         FROM steps GROUP BY 1
+        """
+    _steps_sql = {i + 2: s for i, s in enumerate(_FUNNEL_STEPS[1:])}
+    d["events_funnel"] = f"""
+        WITH s1 AS (
+          SELECT user_id AS "user", min(ts) AS t1 FROM events
+          WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id AS "user", min(e.ts) AS t2
+          FROM events e JOIN s1 ON s1."user" = e.user_id AND e.ts > s1.t1
+          WHERE e.event_type = '{_steps_sql[2]}' GROUP BY 1
+        ),
+        s3 AS (
+          SELECT e.user_id AS "user", min(e.ts) AS t3
+          FROM events e JOIN s2 ON s2."user" = e.user_id AND e.ts > s2.t2
+          WHERE e.event_type = '{_steps_sql[3]}' GROUP BY 1
+        )
+        SELECT s1."user", t1, t2, t3,
+               CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END
+                    AS INT) AS reached
+        FROM s1 LEFT JOIN s2 USING ("user") LEFT JOIN s3 USING ("user")
+        """
+    d["events_retention"] = """
+        WITH days AS (
+          SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+          FROM events
+        ),
+        c AS (SELECT u, min(day) AS cohort_day FROM days GROUP BY 1)
+        SELECT cohort_day, CAST(day - cohort_day AS INT) AS day_offset,
+               count(DISTINCT u) AS n_users
+        FROM days JOIN c USING (u) GROUP BY 1, 2
+        """
+    d["event_transitions"] = """
+        WITH seq AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events
+        )
+        SELECT src, dst, count(*) AS n,
+               round(CAST(count(*) AS DOUBLE)
+                     / CAST(sum(count(*)) OVER (PARTITION BY src)
+                            AS DOUBLE), 6) AS p
+        FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+        """
+    _bm25_terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    d["bm25_scores"] = f"""
+        WITH w AS (
+          SELECT doc_id, string_split(tt, ' ') AS words
+          FROM (SELECT doc_id, {norm} AS tt FROM documents)
+          WHERE length(tt) > 0
+        ),
+        stats AS (
+          SELECT count(*) AS n, CAST(sum(len(words)) AS BIGINT) AS total
+          FROM w
+        ),
+        dl AS (SELECT doc_id, len(words) AS dl FROM w),
+        terms AS (SELECT doc_id, unnest(words) AS term FROM w),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM terms
+          WHERE term IN ({_bm25_terms}) GROUP BY 1, 2
+        ),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+                 round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf.tf * {_BM25_K1 + 1.0!r})
+                       / (tf.tf + {_BM25_K1!r}
+                          * ({1.0 - _BM25_B!r} + {_BM25_B!r}
+                             * CAST(dl.dl AS DOUBLE)
+                             / (CAST(total AS DOUBLE) / CAST(n AS DOUBLE)))),
+                       6) AS score
+          FROM tf JOIN dl USING (doc_id)
+          CROSS JOIN stats JOIN dfx USING (term)
+        )
+        SELECT doc_id, term, tf, dl, score, CAST(rk AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY term ORDER BY score DESC, doc_id) AS rk
+              FROM scored)
+        WHERE rk <= {_BM25_K}
+        """
+    d["embedding_quantize"] = """
+        WITH d0 AS (
+          SELECT vec_id AS id, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings
+        ),
+        dims AS (SELECT id, i - 1 AS dim, embedding[i] AS v FROM d0),
+        r AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM dims GROUP BY 1),
+        q AS (
+          SELECT id, dim,
+                 CAST(CASE WHEN hi > lo
+                      THEN round((CAST(v AS DOUBLE) - CAST(lo AS DOUBLE))
+                                 * 255.0
+                                 / (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)))
+                      ELSE 0 END AS BIGINT) AS q
+          FROM dims JOIN r USING (dim)
+        )
+        SELECT id AS vec_id, CAST(count(*) AS INT) AS n_dims,
+               CAST(sum(q) AS BIGINT) AS sum_q,
+               CAST(min(q) AS BIGINT) AS min_q,
+               CAST(max(q) AS BIGINT) AS max_q,
+               CAST(sum(q * (dim + 1)) AS BIGINT) AS checksum
+        FROM q GROUP BY 1
+        """
+    d["weighted_sample"] = f"""
+        WITH h AS (
+          SELECT doc_id, n_chars,
+                 CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+          FROM documents WHERE n_chars > 0
+        ),
+        k AS (
+          SELECT doc_id, n_chars,
+                 ln(CAST(h + 1 AS DOUBLE) / {float(1 << 60)!r})
+                   / CAST(n_chars AS DOUBLE) AS key
+          FROM h
+        )
+        SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
+                 AS rank,
+               doc_id, n_chars
+        FROM k ORDER BY key DESC, doc_id LIMIT {_WSAMPLE_K}
         """
     # as-of oracle: DuckDB's NATIVE ASOF JOIN — an independent engine
     # feature, not a replay of the union-sort-window trick

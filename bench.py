@@ -168,6 +168,12 @@ def main() -> None:
         "curriculum_buckets",
         "gif_decode",
         "adpcm_decode",
+        "events_funnel",
+        "events_retention",
+        "event_transitions",
+        "bm25_scores",
+        "embedding_quantize",
+        "weighted_sample",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

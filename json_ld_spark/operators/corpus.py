@@ -454,3 +454,43 @@ def upsample_by_epochs(
         )
         .drop("_n")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 64,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """(rank, id, weight): deterministic weighted sampling WITHOUT
+    replacement — the A-ES / exponential-clocks scheme (Efraimidis &
+    Spirakis 2006): each row draws u ∈ (0,1] from the cross-engine
+    hash of its id and ranks by u^(1/w), computed as ln(u)/w (same
+    argmax, no tiny-power underflow). The top-k ARE a weighted sample
+    without replacement; everything is a pure function of (id, w), so
+    the sample is partitioning-independent, append-stable for
+    surviving ranks, and replayable by any engine with md5 + ln.
+
+    Output columns are integers only — the float key orders but never
+    leaves the plan, so libm ulp differences cannot reach the gate
+    (keys of distinct ids are never within an ulp). One TakeOrdered
+    top-k, no full sort."""
+    from json_ld_spark.operators.dedup import md5_hash60
+
+    h = md5_hash60(F.col(id_col).cast("string"))
+    u = (h + 1).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    ranked = (
+        docs.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), key.alias("_key"))
+        .orderBy(F.desc("_key"), F.col(id_col))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("_key"), F.col(id_col))
+    return ranked.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        id_col,
+        weight_col,
+    )

@@ -445,3 +445,49 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def embedding_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, n_dims, sum_q, min_q, max_q, checksum): per-dimension
+    min-max scalar quantization of float vectors to uint8 — the
+    standard 4x vector-store compression. q = round((v − min_d)·255 /
+    (max_d − min_d)) per dimension d (constant dimensions quantize
+    to 0). Summaries are exact integers over the quantized codes
+    (checksum weights by dimension index), so the whole quantization
+    — including the per-dim range scan — is hash-gated.
+
+    Two passes at scale: one aggregation for the d-dimensional
+    min/max (tiny result, broadcast back), one map-side pass to
+    quantize; no shuffle of the vectors themselves. The float
+    pipeline is cast-to-double exact arithmetic, IEEE-identical in
+    any engine."""
+    dims = emb.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("dim", "v")
+    )
+    ranges = dims.groupBy("dim").agg(
+        F.min("v").alias("_lo"), F.max("v").alias("_hi")
+    )
+    q = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.round(
+            (F.col("v").cast("double") - F.col("_lo").cast("double"))
+            * 255.0
+            / (F.col("_hi").cast("double") - F.col("_lo").cast("double"))
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        dims.join(F.broadcast(ranges), "dim")
+        .select("id", "dim", q.alias("q"))
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("int").alias("n_dims"),
+            F.sum("q").alias("sum_q"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+            F.sum(F.col("q") * (F.col("dim") + 1)).alias("checksum"),
+        )
+    )

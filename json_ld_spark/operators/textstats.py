@@ -442,3 +442,76 @@ def bigram_lm_scores(
             .alias("lm_score"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: "list[str]",
+    n_docs: int,
+    total_len: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, dl, score, rank): Okapi BM25 ranking of the
+    corpus against a fixed term set — the classic lexical retrieval
+    scorer (Robertson/Spärck Jones).
+
+    score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1). ``n_docs``/``total_len``
+    are counted RECIPE PARAMETERS (the PageRank-N policy): both
+    engines derive avgdl from the same exact integers, so the one
+    float pipeline is IEEE-identical and the 6-dp rounded score
+    hash-gates. Ranks tie-break on doc_id.
+
+    Scale: terms explode only for the |Q| query terms (the filter
+    pushes inside the explode projection), df is |Q| rows, and the
+    final rank is a per-term window over ≤ N·|Q| scored rows."""
+    from pyspark.sql import Window
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    avgdl = float(total_len) / float(n_docs)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    words = (
+        docs.select(F.col(id_col).alias("id"), norm.alias("_t"))
+        .filter(F.length("_t") > 0)  # split('') is [''], size 1 — filter
+        # on the normalized text instead, as tfidf does
+        .select("id", F.split(F.col("_t"), " ").alias("_w"))
+    )
+    dl = words.select("id", F.size("_w").alias("dl"))
+    terms = words.select(
+        "id", F.explode("_w").alias("term")
+    ).filter(F.col("term").isin(list(query_terms)))
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfx), "term")  # |Q| rows — a true constant
+        .join(dl, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            "dl",
+            F.round(
+                F.log(
+                    (F.lit(float(n_docs)) - F.col("_df") + 0.5)
+                    / (F.col("_df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (1.0 - b + F.lit(b) * F.col("dl").cast("double") / avgdl)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

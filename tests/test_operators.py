@@ -1285,3 +1285,71 @@ def test_adamic_adar_star_and_anti_join(spark):
 
     # hub cap: degree-3 middle dropped when max_degree=2
     assert adamic_adar(edges, max_degree=2).count() == 0
+
+
+def test_funnel_strict_ordering(spark):
+    from datetime import datetime as dt
+
+    from json_ld_spark.operators.events import funnel_conversion
+
+    rows = [
+        # u1 completes in order
+        (1, "view", dt(2024, 1, 1, 10)), (1, "click", dt(2024, 1, 1, 11)),
+        (1, "purchase", dt(2024, 1, 1, 12)),
+        # u2 clicked BEFORE viewing: click must not count
+        (2, "click", dt(2024, 1, 1, 9)), (2, "view", dt(2024, 1, 1, 10)),
+        # u3 views only
+        (3, "view", dt(2024, 1, 1, 8)),
+        # u4 never views: absent from the funnel
+        (4, "purchase", dt(2024, 1, 1, 8)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {r["user"]: r for r in
+           funnel_conversion(ev, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["reached"] == 3 and out[1]["t3"] == dt(2024, 1, 1, 12)
+    assert out[2]["reached"] == 1 and out[2]["t2"] is None
+    assert out[3]["reached"] == 1
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from json_ld_spark.operators.corpus import weighted_sample
+
+    # 40 heavy docs (weight 10000) vs 400 light (weight 10): heavies
+    # dominate the sample despite being 10% of rows
+    rows = [(i, 10_000) for i in range(40)] + [
+        (100 + i, 10) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    s1 = weighted_sample(df, k=32)
+    got1 = [(r["rank"], r["doc_id"]) for r in s1.orderBy("rank").collect()]
+    got2 = [(r["rank"], r["doc_id"])
+            for r in weighted_sample(df.repartition(13), k=32)
+            .orderBy("rank").collect()]
+    assert got1 == got2  # partitioning-independent
+    heavy = sum(1 for _, d in got1 if d < 40)
+    assert heavy >= 24  # weight bias actually expressed
+    # zero/negative weights excluded
+    df0 = df.union(spark.createDataFrame([(999, 0)], "doc_id long, n_chars long"))
+    assert all(r["doc_id"] != 999
+               for r in weighted_sample(df0, k=440).collect())
+
+
+def test_embedding_quantize_bounds_and_constant_dim(spark):
+    from json_ld_spark.operators.similarity import embedding_quantize
+
+    rows = [
+        (1, [0.0, 5.0, -1.0]),
+        (2, [1.0, 5.0, 3.0]),
+        (3, [2.0, 5.0, 7.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in embedding_quantize(df).collect()}
+    # dim0 spans [0,2] → codes 0/128/255 (round(1*255/2)=128);
+    # dim1 constant → 0; dim2 spans [-1,7] → 0/128(3→4/8)/255
+    assert (out[1]["min_q"], out[1]["max_q"]) == (0, 0)
+    assert out[2]["sum_q"] == 128 + 0 + 128
+    assert out[3]["sum_q"] == 255 + 0 + 255
+    assert all(r["n_dims"] == 3 for r in out.values())
