@@ -2366,6 +2366,67 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, k=_WSAMPLE_K)
 
 
+def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL under the gate: events replayed as THREE ordered
+    micro-batches where batches 1 and 2 RE-DELIVER early rows (every
+    5th batch-0 event — the at-least-once shape); the register state
+    (applyInPandasWithState, 2^b bytes per group) max-merges across
+    batches, so redelivery cannot move the sketch and the final
+    snapshot must equal the batch HLL of the ORIGINAL events — which
+    is exactly the SQL oracle of the batch sketch. A rank computed
+    differently in the stream path, a lost register between batches,
+    or redelivery double-counting all fail the hash."""
+    import datetime
+
+    from pyspark.sql.window import Window
+
+    from json_ld_spark.operators.sketches import hll_bucket_rank
+    from json_ld_spark.streaming.stream_pipeline import stream_hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tmax = ev.agg(F.max("ts")).collect()[0][0]  # 1-row parameter fetch
+    t1 = tmax - datetime.timedelta(hours=96)
+    t2 = tmax - datetime.timedelta(hours=48)
+    f0 = ev.filter(F.col("ts") < F.lit(t1))
+    dup = f0.filter(F.col("event_id") % 5 == 0)
+    f1 = ev.filter(
+        (F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))
+    ).unionByName(dup)
+    f2 = ev.filter(F.col("ts") >= F.lit(t2)).unionByName(dup)
+
+    base = _fresh_stream_dir("kghll_")
+    in_dir = _stage_ordered_batches(base, (f0, f1, f2))
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    bucket, rank = hll_bucket_rank("user_id", _HLL_B)
+    keyed = stream.select(
+        F.col("event_type").alias("group"),
+        bucket.cast("int").alias("bucket"),
+        rank.cast("int").alias("rank"),
+    )
+    out_dir = _run_available_now(
+        stream_hll_registers(keyed, b=_HLL_B), base
+    )
+    snaps = spark.read.parquet(out_dir)
+    w = Window.partitionBy("group").orderBy(F.desc("seq"))
+    return (
+        snaps.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("group").alias("event_type"), "m", "nonempty",
+            "s_scaled", "est",
+        )
+    )
+
+
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF (LZW) decode under the hash gate: every payload is a
     genuine GIF89a stream — palette, sub-blocks, variable-width LZW
@@ -2472,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "embedding_quantize": q_embedding_quantize,
         "weighted_sample": q_weighted_sample,
+        "stream_hll_distinct": q_stream_hll_distinct,
         "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep": q_dedup_keep,
@@ -3573,7 +3635,7 @@ def oracle_sql() -> dict[str, str]:
     _hll_pow = 1 << _hll_rem_bits
     _hll_scale = 1 << 51
     _hll_const = repr(_alpha(_hll_m) * _hll_m * _hll_m * float(_hll_scale))
-    d["hll_distinct_users"] = f"""
+    _hll_core = f"""
         WITH h AS (
           SELECT event_type,
                  CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
@@ -3609,17 +3671,24 @@ def oracle_sql() -> dict[str, str]:
                  {_hll_m} - nonempty AS zeros
           FROM s
         )
+        """
+    _hll_select = f"""
         SELECT e.event_type, CAST({_hll_m} AS INT) AS m, nonempty, s_scaled,
                round(CASE WHEN raw <= {2.5 * _hll_m} AND zeros > 0
                           THEN {float(_hll_m)!r}
                                * ln({float(_hll_m)!r} / CAST(zeros AS DOUBLE))
-                          ELSE raw END, 2) AS est,
-               x.exact_distinct
+                          ELSE raw END, 2) AS est
+        """
+    d["hll_distinct_users"] = _hll_core + _hll_select + """
+               , x.exact_distinct
         FROM e JOIN (
           SELECT event_type, count(DISTINCT user_id) AS exact_distinct
           FROM events GROUP BY 1
         ) x USING (event_type)
         """
+    # streaming HLL: the stateful register stream's FINAL snapshot
+    # must equal the batch sketch — same core, no exact-count join
+    d["stream_hll_distinct"] = _hll_core + _hll_select + " FROM e"
     # KMV oracle: the k-th smallest distinct hash is an exact integer
     d["kmv_distinct_users"] = f"""
         WITH h AS (

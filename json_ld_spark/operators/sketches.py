@@ -55,6 +55,41 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_bucket_rank(value_col, b: int):
+    """(bucket, rank) column expressions for one value — the per-row
+    half of the sketch, shared by the batch aggregation and the
+    streaming register state (streaming/stream_pipeline.py)."""
+    rem_bits = _HASH_BITS - b
+    h = md5_hash60(F.col(value_col).cast("string"))
+    bucket = F.shiftright(h, rem_bits)
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rank = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits) - F.length(F.bin(rem)) + 1
+    )
+    return bucket, rank
+
+
+def estimate_from_registers(nonempty: int, s_nonempty: int, b: int):
+    """(s_scaled, est) from register summaries, in PYTHON arithmetic
+    that is operand-for-operand the arithmetic of the SQL/DataFrame
+    path: exact-int scaled harmonic sum, one IEEE double division,
+    the published linear-counting branch, round to 2 dp. Used by the
+    streaming state operator so its emitted estimate equals the batch
+    engines' bit-for-bit."""
+    import math
+
+    m = 1 << b
+    s_scaled = s_nonempty + (m - nonempty) * (1 << _SCALE_SHIFT)
+    const = _alpha(m) * m * m * float(1 << _SCALE_SHIFT)
+    raw = const / float(s_scaled)
+    zeros = m - nonempty
+    if raw <= 2.5 * m and zeros > 0:
+        est = float(m) * math.log(float(m) / float(zeros))
+    else:
+        est = raw
+    return s_scaled, round(est, 2)
+
+
 def hll_distinct(
     df: DataFrame,
     group_col: str,
@@ -73,15 +108,9 @@ def hll_distinct(
     if not 4 <= b <= 12:
         raise ValueError("b must be in [4, 12] (register count 16..4096)")
     m = 1 << b
-    rem_bits = _HASH_BITS - b
-    h = md5_hash60(F.col(value_col).cast("string"))
-    bucket = F.shiftright(h, rem_bits)
-    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
-    # leading zeros of rem within rem_bits, +1:  bitlength via bin()
+    # leading zeros of rem within rem_bits, +1: bitlength via bin()
     # (both engines return '0' for 0, so 0 is special-cased)
-    rank = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
-        F.lit(rem_bits) - F.length(F.bin(rem)) + 1
-    )
+    bucket, rank = hll_bucket_rank(value_col, b)
     regs = (
         df.filter(F.col(value_col).isNotNull())
         .select(F.col(group_col).alias("group"), bucket.alias("bucket"), rank.alias("rank"))

@@ -228,3 +228,81 @@ def stream_exact_dedup(
         .dropDuplicatesWithinWatermark(list(id_cols))
         .withColumn(ts_col, F.col(ts_col).cast("timestamp_ntz"))
     )
+
+
+def stream_hll_registers(
+    keyed_stream: DataFrame,
+    b: int = 8,
+    group_col: str = "group",
+) -> DataFrame:
+    """Streaming HyperLogLog (applyInPandasWithState): the per-group
+    register array — 2^b bytes, the whole sketch — lives in state and
+    is MAXed with each micro-batch's (bucket, rank) rows; every
+    invocation emits a snapshot of the group's current summaries with
+    a monotonically increasing ``seq``, so the max-seq row per group
+    is the final sketch.
+
+    This is the mergeability property made operational: registers
+    max-combine, so at-least-once redelivery (the same value arriving
+    in three different micro-batches) cannot move the estimate — the
+    gate plants exactly that. The emitted estimate is computed by
+    operators/sketches.estimate_from_registers with arithmetic
+    operand-for-operand equal to the batch path, so the final
+    snapshot equals batch hll_distinct bit-for-bit.
+
+    State is a fixed 2^b-byte binary per group — the O(1)-per-key
+    bound that makes streaming distinct-count viable at 100 TB where
+    exact streaming distinct state grows with cardinality.
+
+    Input: ``keyed_stream`` with (group, bucket int, rank int) — the
+    per-row hash half is JVM-side (sketches.hll_bucket_rank) so only
+    the tiny triple reaches Python."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    m = 1 << b
+    output_schema = (
+        f"{group_col} string, seq int, m int, nonempty int, "
+        "s_scaled long, est double"
+    )
+    state_schema = "regs binary, seq int"
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import numpy as np
+        import pandas as pd
+
+        from json_ld_spark.operators.sketches import (
+            estimate_from_registers,
+        )
+
+        (group,) = key
+        if state.exists:
+            prev_regs, prev_seq = state.get
+            regs = np.frombuffer(prev_regs, dtype=np.uint8).copy()
+        else:
+            regs, prev_seq = np.zeros(m, dtype=np.uint8), 0
+        for pdf in pdf_iter:
+            if len(pdf):
+                np.maximum.at(
+                    regs,
+                    pdf["bucket"].to_numpy(np.int64),
+                    pdf["rank"].to_numpy(np.uint8),
+                )
+        seq = prev_seq + 1
+        state.update((regs.tobytes(), seq))
+        nonempty = int((regs > 0).sum())
+        s_nonempty = sum(
+            1 << (51 - int(r)) for r in regs[regs > 0] if r <= 51
+        )
+        s_scaled, est = estimate_from_registers(nonempty, s_nonempty, b)
+        yield pd.DataFrame(
+            [(group, seq, m, nonempty, s_scaled, est)],
+            columns=[group_col, "seq", "m", "nonempty", "s_scaled", "est"],
+        )
+
+    return keyed_stream.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
