@@ -2366,6 +2366,23 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, k=_WSAMPLE_K)
 
 
+_PCA_ITERS = 3
+
+
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by integer
+    power iteration over quantized codes: the scaled covariance is
+    exact int64, each iteration's matrix-vector product is exact, and
+    norms go through DECIMAL(38,0) squares — the oracle replays
+    quantization, covariance, and every iteration CTE-for-CTE, so
+    nothing float-order-dependent exists to diverge."""
+    from json_ld_spark.operators.similarity import pca_top_component
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vecs = emb.count()  # 1-row recipe parameter (PageRank-N policy)
+    return pca_top_component(emb, n_vecs, n_iters=_PCA_ITERS)
+
+
 def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL under the gate: events replayed as THREE ordered
     micro-batches where batches 1 and 2 RE-DELIVER early rows (every
@@ -2534,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "weighted_sample": q_weighted_sample,
         "stream_hll_distinct": q_stream_hll_distinct,
+        "pca_top_component": q_pca_top_component,
         "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep": q_dedup_keep,
@@ -4011,6 +4029,59 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(q) AS BIGINT) AS max_q,
                CAST(sum(q * (dim + 1)) AS BIGINT) AS checksum
         FROM q GROUP BY 1
+        """
+    # PCA oracle: quantize → exact-integer covariance → every power
+    # iteration replayed (decimal-squared norms, integer re-scale)
+    _pca_its = []
+    _prev = "v0"
+    for _k in range(1, _PCA_ITERS + 1):
+        _pca_its.append(f"""
+        w{_k} AS (
+          SELECT cov.i AS dim, CAST(sum(c * v.v) AS BIGINT) AS w
+          FROM cov JOIN {_prev} v ON v.dim = cov.j GROUP BY 1
+        ),
+        n{_k} AS (
+          SELECT sqrt(CAST(sum(CAST(w AS DECIMAL(19,0))
+                               * CAST(w AS DECIMAL(19,0))) AS DOUBLE))
+                   AS nn
+          FROM w{_k}
+        ),
+        v{_k} AS (
+          SELECT dim, CAST(round(CAST(w AS DOUBLE) / nn * 1000) AS BIGINT)
+                   AS v
+          FROM w{_k}, n{_k}
+        )""")
+        _prev = f"v{_k}"
+    d["pca_top_component"] = f"""
+        WITH d0 AS (
+          SELECT vec_id AS id, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings
+        ),
+        dims AS (SELECT id, i - 1 AS dim, embedding[i] AS v FROM d0),
+        r AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM dims GROUP BY 1),
+        q AS (
+          SELECT id, dim,
+                 CAST(CASE WHEN hi > lo
+                      THEN round((CAST(v AS DOUBLE) - CAST(lo AS DOUBLE))
+                                 * 255.0
+                                 / (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)))
+                      ELSE 0 END AS BIGINT) AS q
+          FROM dims JOIN r USING (dim)
+        ),
+        s AS (SELECT dim, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY 1),
+        p AS (
+          SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS BIGINT) AS p
+          FROM q a JOIN q b USING (id) GROUP BY 1, 2
+        ),
+        cov AS (
+          SELECT i, j,
+                 (SELECT count(*) FROM embeddings) * p - si.s * sj.s AS c
+          FROM p JOIN s si ON si.dim = p.i JOIN s sj ON sj.dim = p.j
+        ),
+        v0 AS (SELECT DISTINCT i AS dim, CAST(1000 AS BIGINT) AS v FROM cov),
+        {",".join(_pca_its)}
+        SELECT dim, v FROM v{_PCA_ITERS}
         """
     d["weighted_sample"] = f"""
         WITH h AS (

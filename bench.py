@@ -174,6 +174,7 @@ def main() -> None:
         "bm25_scores",
         "embedding_quantize",
         "weighted_sample",
+        "pca_top_component",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

@@ -447,6 +447,34 @@ def ivf_topk(
     )
 
 
+def quantize_codes(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, dim, q): the per-dimension uint8 codes behind
+    embedding_quantize — exposed so downstream EXACT-integer analytics
+    (PCA over codes, integer distance sketches) can reuse the same
+    deterministic quantization."""
+    dims = emb.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("dim", "v")
+    )
+    ranges = dims.groupBy("dim").agg(
+        F.min("v").alias("_lo"), F.max("v").alias("_hi")
+    )
+    q = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.round(
+            (F.col("v").cast("double") - F.col("_lo").cast("double"))
+            * 255.0
+            / (F.col("_hi").cast("double") - F.col("_lo").cast("double"))
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    return dims.join(F.broadcast(ranges), "dim").select(
+        "id", "dim", q.alias("q")
+    )
+
+
 def embedding_quantize(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -465,23 +493,8 @@ def embedding_quantize(
     quantize; no shuffle of the vectors themselves. The float
     pipeline is cast-to-double exact arithmetic, IEEE-identical in
     any engine."""
-    dims = emb.select(
-        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("dim", "v")
-    )
-    ranges = dims.groupBy("dim").agg(
-        F.min("v").alias("_lo"), F.max("v").alias("_hi")
-    )
-    q = F.when(
-        F.col("_hi") > F.col("_lo"),
-        F.round(
-            (F.col("v").cast("double") - F.col("_lo").cast("double"))
-            * 255.0
-            / (F.col("_hi").cast("double") - F.col("_lo").cast("double"))
-        ),
-    ).otherwise(F.lit(0)).cast("long")
     return (
-        dims.join(F.broadcast(ranges), "dim")
-        .select("id", "dim", q.alias("q"))
+        quantize_codes(emb, id_col=id_col, vec_col=vec_col)
         .groupBy(F.col("id").alias(id_col))
         .agg(
             F.count("*").cast("int").alias("n_dims"),
@@ -491,3 +504,80 @@ def embedding_quantize(
             F.sum(F.col("q") * (F.col("dim") + 1)).alias("checksum"),
         )
     )
+
+
+def pca_top_component(
+    emb: DataFrame,
+    n_vecs: int,
+    n_iters: int = 3,
+    v_scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(dim, v): the top principal direction of the embedding cloud,
+    as a fixed-iteration power-iteration recipe over EXACT INTEGERS —
+    the same determinism policy as the trained IVF codebook and
+    PageRank, which is what lets a SQL oracle replay the whole
+    computation.
+
+    Floats cannot survive a distributed covariance sum (order-
+    dependent), so the pipeline never sums them: vectors are first
+    quantized to uint8 codes (quantize_codes — itself gated), and the
+    scaled covariance C = n·Σqᵢqⱼ − ΣqᵢΣqⱼ is exact int64. Each power
+    iteration computes w = C·v over integers (v carried at
+    ``v_scale``), takes ‖w‖ via DECIMAL(38,0) squares (w² overflows
+    int64; decimal sums are exact and order-free in both engines),
+    and re-normalizes to integers: v′ = round(w/‖w‖·v_scale). The
+    only floats are one cast + divide + sqrt per iteration on exact
+    operands — IEEE-identical everywhere.
+
+    ``n_vecs`` is a counted recipe parameter (PageRank-N policy).
+    Scale: the pair-product pass is n·d² rows (the dominant cost,
+    one shuffle to d² cells); iterations then run on the d²-row C
+    (broadcast) × d-row v — driver-light, executor-trivial."""
+    codes = quantize_codes(emb, id_col=id_col, vec_col=vec_col)
+    s = codes.groupBy("dim").agg(F.sum("q").alias("s"))
+    a, b_ = codes.alias("a"), codes.alias("b")
+    p = (
+        a.join(b_, F.col("a.id") == F.col("b.id"))
+        .groupBy(
+            F.col("a.dim").alias("i"), F.col("b.dim").alias("j")
+        )
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("p"))
+    )
+    cov = (
+        p.join(F.broadcast(s.select(F.col("dim").alias("i"), F.col("s").alias("si"))), "i")
+        .join(F.broadcast(s.select(F.col("dim").alias("j"), F.col("s").alias("sj"))), "j")
+        .select(
+            "i", "j",
+            (F.lit(n_vecs) * F.col("p") - F.col("si") * F.col("sj")).alias("c"),
+        )
+    ).localCheckpoint()
+    d = cov.select("i").distinct()
+    v = d.select(F.col("i").alias("dim"), F.lit(v_scale).cast("long").alias("v"))
+    for _ in range(n_iters):
+        w = (
+            cov.join(F.broadcast(v.select(F.col("dim").alias("j"), "v")), "j")
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        norm = (
+            w.select(
+                F.sqrt(
+                    F.sum(
+                        F.col("w").cast("decimal(19,0)")
+                        * F.col("w").cast("decimal(19,0)")
+                    ).cast("double")
+                ).alias("_n")
+            )
+        )
+        v = (
+            w.crossJoin(F.broadcast(norm))
+            .select(
+                "dim",
+                F.round(
+                    F.col("w").cast("double") / F.col("_n") * v_scale
+                ).cast("long").alias("v"),
+            )
+        )
+    return v

@@ -1353,3 +1353,41 @@ def test_embedding_quantize_bounds_and_constant_dim(spark):
     assert out[2]["sum_q"] == 128 + 0 + 128
     assert out[3]["sum_q"] == 255 + 0 + 255
     assert all(r["n_dims"] == 3 for r in out.values())
+
+
+def test_pca_top_component_finds_planted_direction(spark):
+    import math
+    import random
+
+    from json_ld_spark.operators.similarity import pca_top_component
+
+    # cloud with dominant variance along a fixed direction u in R^8
+    rng = random.Random(3)
+    u = [1.0, -1.0, 2.0, 0.5, -0.5, 1.5, -2.0, 1.0]
+    rows = []
+    for i in range(300):
+        a = rng.gauss(0, 10.0)  # dominant axis
+        vec = [a * uj + rng.gauss(0, 0.5) for uj in u]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = {r["dim"]: r["v"] for r in pca_top_component(df, 300).collect()}
+    assert set(v) == set(range(8))
+    # independent reference: numpy/LAPACK eigh of the SAME quantized
+    # covariance (min-max scaling changes the direction vs raw u, so
+    # the comparison target must be the quantized-space eigenvector)
+    import numpy as np
+
+    x = np.array([vec for _, vec in rows], dtype=np.float32)
+    lo, hi = x.min(0), x.max(0)
+    qm = np.floor(
+        (x.astype(np.float64) - lo) * 255.0 / (hi - lo) + 0.5
+    ).astype(np.int64)
+    cm = 300 * (qm.T @ qm) - np.outer(qm.sum(0), qm.sum(0))
+    top = np.linalg.eigh(cm)[1][:, -1]
+    vv = np.array([v[d] for d in range(8)], dtype=np.float64)
+    cos = abs(vv @ top) / np.linalg.norm(vv)
+    assert cos > 0.999, cos
+    # deterministic under repartition
+    v2 = {r["dim"]: r["v"]
+          for r in pca_top_component(df.repartition(7), 300).collect()}
+    assert v2 == v
