@@ -2366,6 +2366,57 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, k=_WSAMPLE_K)
 
 
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "props"]
+# (double/timestamp columns are excluded: their STRING casts are not
+# guaranteed to agree across engines, and the profile hashes strings)
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style profile of the events table: per-column rows /
+    nulls / exact distinct / HLL register state + estimate. The
+    oracle replays every column's counts and the full sketch, so the
+    profile an optimizer would trust is itself gated."""
+    from json_ld_spark.operators.profile import profile_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profile_table(ev, columns=_PROFILE_COLS, b=_HLL_B)
+
+
+_KWIC_CTX = 20
+
+
+def q_mention_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction — the NER-style read that yields
+    training spans: first occurrence of each gazetteer surface per
+    document with ±20-char context windows. Pure string arithmetic
+    (locate/substr, 1-based in both engines), broadcast of the tiny
+    surface table, corpus side never shuffles; the raw context
+    strings gate exact position arithmetic."""
+    from json_ld_spark.sources.gazetteer import GAZETTEER
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gaz = spark.createDataFrame(
+        [(g[0], g[1]) for g in GAZETTEER], "entity_id int, surface string"
+    )
+    j = docs.crossJoin(F.broadcast(gaz)).withColumn(
+        "pos", F.expr("locate(surface, text)")
+    ).filter(F.col("pos") > 0)
+    c = _KWIC_CTX
+    return j.select(
+        "doc_id",
+        "entity_id",
+        "surface",
+        "pos",
+        F.expr(
+            f"substring(text, greatest(1, pos - {c}),"
+            f" pos - greatest(1, pos - {c}))"
+        ).alias("left_ctx"),
+        F.expr(f"substring(text, pos + length(surface), {c})").alias(
+            "right_ctx"
+        ),
+    )
+
+
 _PCA_ITERS = 3
 
 
@@ -2552,6 +2603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "stream_hll_distinct": q_stream_hll_distinct,
         "pca_top_component": q_pca_top_component,
+        "table_profile": q_table_profile,
+        "mention_kwic": q_mention_kwic,
         "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep": q_dedup_keep,
@@ -3707,6 +3760,72 @@ def oracle_sql() -> dict[str, str]:
     # streaming HLL: the stateful register stream's FINAL snapshot
     # must equal the batch sketch — same core, no exact-count join
     d["stream_hll_distinct"] = _hll_core + _hll_select + " FROM e"
+
+    # table profile: per-column counts + the full HLL core, one
+    # UNION ALL branch per profiled column
+    def _profile_col_sql(c: str) -> str:
+        return f"""
+        SELECT '{c}' AS column, cnt.n_rows, cnt.n_null, cnt.n_distinct,
+               e.nonempty AS hll_nonempty, e.s_scaled AS hll_s_scaled,
+               round(CASE WHEN e.raw <= {2.5 * _hll_m} AND e.zeros > 0
+                          THEN {float(_hll_m)!r}
+                               * ln({float(_hll_m)!r} / CAST(e.zeros AS DOUBLE))
+                          ELSE e.raw END, 2) AS hll_est
+        FROM (
+          SELECT count(*) AS n_rows,
+                 CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_null,
+                 count(DISTINCT {c}) AS n_distinct
+          FROM events
+        ) cnt CROSS JOIN (
+          SELECT nonempty, s_scaled,
+                 {_hll_const} / CAST(s_scaled AS DOUBLE) AS raw,
+                 {_hll_m} - nonempty AS zeros
+          FROM (
+            SELECT nonempty,
+                   CAST(s_nonempty + ({_hll_m} - nonempty) * {_hll_scale}
+                        AS BIGINT) AS s_scaled
+            FROM (
+              SELECT count(*) AS nonempty,
+                     sum(CASE WHEN r <= 51
+                              THEN (CAST(1 AS BIGINT) << (51 - r))
+                              ELSE 0 END) AS s_nonempty
+              FROM (
+                SELECT bucket, max(rank) AS r FROM (
+                  SELECT h // {_hll_pow} AS bucket,
+                         CASE WHEN h % {_hll_pow} = 0 THEN {_hll_rem_bits + 1}
+                              ELSE {_hll_rem_bits} - length(bin(h % {_hll_pow})) + 1
+                         END AS rank
+                  FROM (
+                    SELECT CAST(concat('0x',
+                             substring(md5(CAST({c} AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS h
+                    FROM events WHERE {c} IS NOT NULL
+                  )
+                ) GROUP BY 1
+              )
+            )
+          )
+        ) e
+        """
+
+    d["table_profile"] = " UNION ALL ".join(
+        _profile_col_sql(c) for c in _PROFILE_COLS
+    )
+    d["mention_kwic"] = f"""
+        SELECT doc_id, CAST(g.entity_id AS INT) AS entity_id, g.surface,
+               CAST(strpos(text, g.surface) AS INT) AS pos,
+               substr(text,
+                      greatest(1, strpos(text, g.surface) - {_KWIC_CTX}),
+                      strpos(text, g.surface)
+                        - greatest(1, strpos(text, g.surface) - {_KWIC_CTX}))
+                 AS left_ctx,
+               substr(text,
+                      strpos(text, g.surface) + length(g.surface),
+                      {_KWIC_CTX}) AS right_ctx
+        FROM documents CROSS JOIN {_gazetteer_values()}
+        WHERE strpos(text, g.surface) > 0
+        """
     # KMV oracle: the k-th smallest distinct hash is an exact integer
     d["kmv_distinct_users"] = f"""
         WITH h AS (

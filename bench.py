@@ -175,6 +175,8 @@ def main() -> None:
         "embedding_quantize",
         "weighted_sample",
         "pca_top_component",
+        "table_profile",
+        "mention_kwic",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)
