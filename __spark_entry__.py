@@ -2382,6 +2382,20 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(ev, columns=_PROFILE_COLS, b=_HLL_B)
 
 
+_PACK_TURNS_BUDGET = 128
+
+
+def q_pack_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT context-window assembly: each conversation's turns packed
+    in order into fixed-token-budget windows (greedy running total,
+    conversation-partitioned — the natural pack unit, no bucket
+    hack). The oracle replays tokenization, the per-conversation
+    cumulative sum, and the floor formula."""
+    from json_ld_spark.operators.corpus import pack_turns
+
+    return pack_turns(_derived(spark, sf_dir), budget_tokens=_PACK_TURNS_BUDGET)
+
+
 _KWIC_CTX = 20
 
 
@@ -2605,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_top_component": q_pca_top_component,
         "table_profile": q_table_profile,
         "mention_kwic": q_mention_kwic,
+        "pack_turns": q_pack_turns,
         "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_incremental": q_dedup_incremental,
         "dedup_keep": q_dedup_keep,
@@ -3812,6 +3827,28 @@ def oracle_sql() -> dict[str, str]:
     d["table_profile"] = " UNION ALL ".join(
         _profile_col_sql(c) for c in _PROFILE_COLS
     )
+    d["pack_turns"] = f"""
+        WITH t AS ({_T_CTE}),
+        tok AS (
+          SELECT conv_id, turn_idx, role,
+                 CASE WHEN length(trim(regexp_replace(lower(coalesce(text, '')),
+                                                      '\\s+', ' ', 'g'))) > 0
+                      THEN len(string_split(
+                             trim(regexp_replace(lower(coalesce(text, '')),
+                                                 '\\s+', ' ', 'g')), ' '))
+                      ELSE 0 END AS n_tokens
+          FROM t
+        )
+        SELECT conv_id, turn_idx, role, CAST(n_tokens AS INT) AS n_tokens,
+               CAST((CAST(cum AS BIGINT) - n_tokens)
+                    // {_PACK_TURNS_BUDGET} AS INT) AS window_idx
+        FROM (
+          SELECT *, sum(n_tokens) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM tok
+        )
+        """
     d["mention_kwic"] = f"""
         SELECT doc_id, CAST(g.entity_id AS INT) AS entity_id, g.surface,
                CAST(strpos(text, g.surface) AS INT) AS pos,

@@ -177,6 +177,7 @@ def main() -> None:
         "pca_top_component",
         "table_profile",
         "mention_kwic",
+        "pack_turns",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

@@ -494,3 +494,52 @@ def weighted_sample(
         id_col,
         weight_col,
     )
+
+
+def pack_turns(
+    turns: DataFrame,
+    budget_tokens: int = 128,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    extra_cols: "tuple[str, ...]" = ("role",),
+) -> DataFrame:
+    """(conv, turn_idx, *extra, n_tokens, window_idx): pack each
+    conversation's turns IN ORDER into fixed-token-budget context
+    windows — the SFT-assembly step between transcripts and the
+    tokenizer. Same greedy running-total semantics as pack_chunks
+    (window = floor(exclusive-prefix / budget); a straddling turn
+    spills into its window), but partitioned by the CONVERSATION —
+    the natural pack unit, so no mod-bucket parallelism hack is
+    needed: every conversation packs independently and turn order is
+    never violated (a requirement chunk packing doesn't have).
+
+    n_tokens = whitespace tokens of the normalized text (swap in the
+    vendored BPE via chunk_documents_bpe's tokenizer for real-token
+    budgets). Zero joins, one window per conversation partition."""
+    from pyspark.sql import Window
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                         "\\s+", " ")
+    )
+    n_tokens = F.when(F.length(norm) > 0, F.size(F.split(norm, " "))).otherwise(
+        F.lit(0)
+    )
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = turns.select(
+        conv_col, idx_col, *extra_cols, n_tokens.alias("n_tokens")
+    )
+    return staged.withColumn("_cum", F.sum("n_tokens").over(w)).select(
+        conv_col,
+        idx_col,
+        *extra_cols,
+        "n_tokens",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / budget_tokens)
+        .cast("int")
+        .alias("window_idx"),
+    )

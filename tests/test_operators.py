@@ -1391,3 +1391,25 @@ def test_pca_top_component_finds_planted_direction(spark):
     v2 = {r["dim"]: r["v"]
           for r in pca_top_component(df.repartition(7), 300).collect()}
     assert v2 == v
+
+
+def test_pack_turns_order_and_straddle(spark):
+    from json_ld_spark.operators.corpus import pack_turns
+
+    rows = [
+        ("c1", 0, "user", "a b c"),            # 3 tokens, cum 3 → w0
+        ("c1", 1, "assistant", "d e f g"),     # 4, prefix 3 → w0
+        ("c1", 2, "user", "h i j k l m n o"),  # 8, prefix 7 → w1 (straddles)
+        ("c1", 3, "assistant", None),          # NULL → 0 tokens, prefix 15 → w3
+        ("c2", 0, "user", "x"),                # independent conversation → w0
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {(r["conv_id"], r["turn_idx"]): (r["n_tokens"], r["window_idx"])
+           for r in pack_turns(df, budget_tokens=5).collect()}
+    assert out[("c1", 0)] == (3, 0)
+    assert out[("c1", 1)] == (4, 0)   # exclusive prefix 3 < 5
+    assert out[("c1", 2)] == (8, 1)   # prefix 7 → window 1, spills
+    assert out[("c1", 3)] == (0, 3)   # prefix 15 → window 3
+    assert out[("c2", 0)] == (1, 0)   # per-conversation reset
