@@ -191,3 +191,71 @@ def test_tfidf_dictionary_join_not_forced_broadcast(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hll_is_single_exchange_per_level(spark):
+    """The sketch must stay a two-level hash aggregation: one shuffle
+    to (group, bucket), one to (group) — a plan that shuffles raw
+    values (e.g. a distinct first) would not scale."""
+    from json_ld_spark.operators.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = explain_str(hll_distinct(ev, "event_type", "user_id", b=8))
+    # formatted plans list each node in the tree AND the detail
+    # section — count only tree nodes
+    assert plan.count("+- Exchange") <= 2
+    assert "HashAggregate" in plan
+
+
+def test_weighted_sample_uses_take_ordered(spark):
+    from json_ld_spark.operators.corpus import weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = explain_str(weighted_sample(docs, k=64))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quantize_broadcasts_ranges_not_vectors(spark):
+    """The d-row range table broadcasts; the vector side must never
+    sort-merge (a SortMergeJoin here would shuffle every vector)."""
+    from json_ld_spark.operators.similarity import embedding_quantize
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = explain_str(embedding_quantize(emb))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pca_iterations_broadcast_the_vector(spark):
+    """Every power-iteration join (cov x v, w x norm) is against a
+    tiny broadcast side — no sort-merge join may appear anywhere in
+    the 3-iteration plan."""
+    from json_ld_spark.operators.similarity import pca_top_component
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = explain_str(pca_top_component(emb, emb.count()))
+    assert "SortMergeJoin" not in plan
+
+
+def test_kwic_broadcasts_surface_table(spark):
+    """The gazetteer side of the KWIC join is broadcast; the corpus
+    never shuffles for it."""
+    import __spark_entry__ as E
+
+    plan = explain_str(E.q_mention_kwic(spark, SF))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_no_forced_broadcast_of_doclen(spark):
+    """Only the |Q|-row df table carries a broadcast hint; the
+    doc-length join must be left to the planner (it is corpus-sized
+    at web scale)."""
+    from json_ld_spark.operators.textstats import bm25_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = bm25_scores(docs, ["data", "row"], 500, 50_000)
+    plan = explain_str(q)
+    # the tiny dfx side broadcast appears; beyond that we only pin
+    # that the plan builds (AQE decides the dl join from real sizes)
+    assert "Broadcast" in plan
