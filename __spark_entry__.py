@@ -2541,6 +2541,24 @@ def q_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stats(synthesize_adpcm_media(spark, _N_MEDIA))
 
 
+def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-coded lossless audio under the gate: FLAC subset
+    payloads (STREAMINFO, CRC-8/CRC-16-checked frames, UTF-8 frame
+    numbers, CONSTANT/VERBATIM/FIXED subframes with Rice-coded
+    residuals — operators/flac.py, written against the public
+    xiph.org format spec). FLAC is lossless, so the oracle replays
+    the closed-form sample function directly against decoded
+    statistics; a wrong Rice parameter, zigzag order, predictor
+    coefficient, or bit-packing slip corrupts the stats, and the
+    decoder's CRC checks make encoder bit errors loud."""
+    from json_ld_spark.operators.multimodal import (
+        decode_stats,
+        synthesize_flac_media,
+    )
+
+    return decode_stats(synthesize_flac_media(spark, _N_MEDIA))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline at sf0.001."""
     return _triples(spark, SF_SMALL).select(
@@ -2609,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_buckets": q_curriculum_buckets,
         "gif_decode": q_gif_decode,
         "adpcm_decode": q_adpcm_decode,
+        "flac_decode": q_flac_decode,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -4080,6 +4099,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(pred) AS BIGINT) AS min_value,
                CAST(max(pred) AS BIGINT) AS max_value
         FROM steps GROUP BY 1
+        """
+    # FLAC oracle: lossless codec → decoded sample statistics equal
+    # the closed-form signal (four classes covering CONSTANT / FIXED
+    # order 1-2 / VERBATIM subframes) with no codec replay
+    d["flac_decode"] = f"""
+        WITH m AS (SELECT range AS id FROM range({_N_MEDIA})),
+        s AS (
+          SELECT id AS media_id,
+                 unnest(generate_series(0, 300 + (id % 4) * 250 - 1))
+                   AS i
+          FROM m
+        ),
+        v AS (
+          SELECT media_id,
+                 CASE media_id % 4
+                   WHEN 0 THEN (media_id * 37) % 4001 - 2000
+                   WHEN 1 THEN (media_id * 13 + i * 29) % 4001 - 2000
+                   WHEN 2 THEN (media_id * 7 + i * i * 3) % 4001 - 2000
+                   ELSE (media_id * 2654435761 + i * 40503) % 65536
+                        - 32768
+                 END AS smp
+          FROM s
+        )
+        SELECT media_id, 'audio' AS kind, CAST(0 AS INT) AS part,
+               CAST(count(*) AS BIGINT) AS n_values,
+               CAST(sum(smp) AS BIGINT) AS sum_values,
+               CAST(min(smp) AS BIGINT) AS min_value,
+               CAST(max(smp) AS BIGINT) AS max_value
+        FROM v GROUP BY 1
         """
     _steps_sql = {i + 2: s for i, s in enumerate(_FUNNEL_STEPS[1:])}
     d["events_funnel"] = f"""

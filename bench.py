@@ -168,6 +168,7 @@ def main() -> None:
         "curriculum_buckets",
         "gif_decode",
         "adpcm_decode",
+        "flac_decode",
         "events_funnel",
         "events_retention",
         "event_transitions",

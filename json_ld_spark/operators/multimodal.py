@@ -324,6 +324,17 @@ def decode_audio(
     """(sample_rate, n_samples, pcm16_bytes) from a WAV PCM16 payload
     via the stdlib ``wave`` module. Non-WAV payloads: strict raises,
     non-strict falls back to the digest fake."""
+    if payload[:4] == b"fLaC":
+        # real entropy-coded lossless audio: Rice-coded fixed-predictor
+        # residuals with CRC-8/CRC-16 verification (operators/flac.py)
+        from json_ld_spark.operators.flac import decode_flac
+
+        try:
+            return decode_flac(payload)
+        except (ValueError, struct.error, IndexError):
+            if strict:
+                raise
+            return 0, 0, hashlib.sha256(payload).digest()
     if payload[:4] == b"RIFF":
         # fmt-tag peek: IMA ADPCM (0x11) dispatches to the real
         # adaptive-delta decoder; PCM16 stays on the stdlib wave path
@@ -758,6 +769,68 @@ def synthesize_gif_media(spark: SparkSession, n: int = 240) -> DataFrame:
                 payload = encode_gif(w, h, full.astype(np.uint8).tobytes())
                 rows.append(
                     (mid, "image", payload, (w, h, None, None, "gif"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(
+        _gen,
+        schema=(
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int, height:int, sample_rate:int, "
+            "n_frames:int, codec:string>"
+        ),
+    )
+
+
+def synthesize_flac_media(spark: SparkSession, n: int = 240) -> DataFrame:
+    """Deterministic FLAC corpus: every payload is a REAL FLAC stream
+    (STREAMINFO + CRC-checked frames + Rice-coded fixed-predictor
+    residuals, operators/flac.py). FLAC is lossless, so the SQL
+    oracle gates decoded sample statistics against the closed-form
+    signal with no codec replay. Four signal classes exercise every
+    subframe type the encoder can emit:
+
+      n_samples = 300 + (mid % 4) * 250    (2-5 blocks at 256)
+      mid % 4 == 0: s_i = (mid*37) % 4001 - 2000            CONSTANT
+      mid % 4 == 1: s_i = (mid*13 + i*29) % 4001 - 2000     FIXED ~1
+      mid % 4 == 2: s_i = (mid*7 + i*i*3) % 4001 - 2000     FIXED ~2
+      mid % 4 == 3: s_i = (mid*2654435761 + i*40503) % 65536
+                          - 32768                           VERBATIM
+    """
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from json_ld_spark.operators.flac import encode_flac
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                n_s = 300 + (mid % 4) * 250
+                mode = mid % 4
+                if mode == 0:
+                    c = (mid * 37) % 4001 - 2000
+                    samples = [c] * n_s
+                elif mode == 1:
+                    samples = [
+                        (mid * 13 + i * 29) % 4001 - 2000
+                        for i in range(n_s)
+                    ]
+                elif mode == 2:
+                    samples = [
+                        (mid * 7 + i * i * 3) % 4001 - 2000
+                        for i in range(n_s)
+                    ]
+                else:
+                    samples = [
+                        (mid * 2654435761 + i * 40503) % 65536 - 32768
+                        for i in range(n_s)
+                    ]
+                payload = encode_flac(samples, AUDIO_RATE, 256)
+                rows.append(
+                    (mid, "audio", payload,
+                     (None, None, AUDIO_RATE, None, "flac"))
                 )
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "meta"]

@@ -670,3 +670,68 @@ def test_decode_audio_dispatches_adpcm_and_pcm(spark):
         synthesize_decodable_media(spark, 12).filter("kind = 'audio'")
     ).collect()
     assert pcm_rows and all(r["kind"] == "audio" for r in pcm_rows)
+
+
+def test_flac_roundtrip_all_subframe_types():
+    import math
+    import struct
+
+    from json_ld_spark.operators.flac import decode_flac, encode_flac
+
+    sigs = {
+        "constant": [137] * 700,
+        "ramp_fixed": [i % 3000 - 1500 for i in range(513)],
+        "sine_fixed": [int(8000 * math.sin(i / 10)) for i in range(1000)],
+        "high_entropy_verbatim": [
+            ((i * 2654435761) % 65536) - 32768 for i in range(300)
+        ],
+        "single": [42],
+        "extremes": [-32768, 32767] * 200,
+    }
+    for name, s in sigs.items():
+        payload = encode_flac(s, 16000, 256)
+        rate, n, pcm = decode_flac(payload)
+        assert rate == 16000 and n == len(s), name
+        assert list(struct.unpack(f"<{n}h", pcm)) == s, name
+
+
+def test_flac_crc_makes_corruption_loud():
+    import math
+
+    import pytest
+
+    from json_ld_spark.operators.flac import decode_flac, encode_flac
+
+    payload = bytearray(
+        encode_flac([int(8000 * math.sin(i / 10)) for i in range(1000)])
+    )
+    # flip a bit inside the first frame body (past the 4+42-byte
+    # metadata prologue) — CRC-16 must catch it
+    payload[60] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac(bytes(payload))
+
+
+def test_flac_flows_through_decode_audio_and_stats(spark):
+    from json_ld_spark.operators.flac import decode_flac
+    from json_ld_spark.operators.multimodal import (
+        decode_audio,
+        decode_stats,
+        synthesize_flac_media,
+    )
+
+    rows = decode_stats(synthesize_flac_media(spark, 12)).collect()
+    assert len(rows) == 12
+    for r in rows:
+        mid = r["media_id"]
+        n_s = 300 + (mid % 4) * 250
+        assert r["n_values"] == n_s
+        if mid % 4 == 0:
+            c = (mid * 37) % 4001 - 2000
+            assert r["sum_values"] == c * n_s
+            assert r["min_value"] == r["max_value"] == c
+    # the magic-byte dispatch in decode_audio hits the same decoder
+    media = synthesize_flac_media(spark, 1).collect()[0]
+    assert decode_audio(bytes(media["payload"]), strict=True) == decode_flac(
+        bytes(media["payload"])
+    )
