@@ -1529,6 +1529,27 @@ def q_chunk_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TRAIN_MERGES = 8
+_BPE_TRAIN_TOPV = 4096
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (operators/bpe_train.py):
+    one word-count pass over the corpus, then 8 merge rounds over the
+    capped vocabulary table — weighted pair counts, deterministic
+    argmax (weight desc, then lexicographic), delimited-replace merge
+    application. The oracle replays the WHOLE training loop
+    CTE-for-CTE (w0 → m1 → w1 → … → m8), so a wrong tie-break, a
+    mis-applied merge, or a pair-count slip in any round fails the
+    hash on every later round too."""
+    from json_ld_spark.operators.bpe_train import train_bpe_distributed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return train_bpe_distributed(
+        docs, n_merges=_BPE_TRAIN_MERGES, top_v=_BPE_TRAIN_TOPV
+    )
+
+
 _PACK_TOKENS = 128
 _PACK_BUCKETS = 8
 
@@ -2645,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "chunk_documents": q_chunk_documents,
         "chunk_documents_bpe": q_chunk_documents_bpe,
+        "bpe_train_merges": q_bpe_train_merges,
         "pack_chunks": q_pack_chunks,
         "pack_chunks_bpe": q_pack_chunks_bpe,
         "deterministic_sample": q_deterministic_sample,
@@ -3227,6 +3249,58 @@ def oracle_sql() -> dict[str, str]:
                  / {_PACK_TOKENS}) AS INT) AS pack_id
         FROM chunks
         """
+    # BPE training oracle: replay the distributed training loop
+    # CTE-for-CTE — word-count pass + top-V cap, then per round:
+    # weighted adjacent-pair counts over the current segmentations,
+    # deterministic argmax, delimited-replace merge application.
+    # list_zip pads the shorter list with NULL, which drops the
+    # phantom (last, NULL) pair via the IS NOT NULL filter.
+    from json_ld_spark.functions.bpe import bpe_sql_norm
+
+    _bt_norm = bpe_sql_norm("coalesce(text, '')")
+    _bt_parts = [f"""
+        w AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(string_split({_bt_norm}, ' ')) AS word
+                FROM documents)
+          WHERE word <> ''
+          GROUP BY 1 ORDER BY c DESC, word LIMIT {_BPE_TRAIN_TOPV}
+        ),
+        w0 AS (
+          SELECT word, c,
+                 '⟨' || array_to_string(string_split(word, ''),
+                   '⟩⟨') || '⟩' AS seq
+          FROM w
+        )"""]
+    _bt_finals = []
+    for _k in range(1, _BPE_TRAIN_MERGES + 1):
+        _bt_parts.append(f"""
+        p{_k} AS (
+          SELECT z[1] AS a, z[2] AS b, CAST(sum(c) AS BIGINT) AS wt
+          FROM (
+            SELECT c, unnest(list_zip(toks, toks[2:])) AS z
+            FROM (SELECT c, string_split(seq[2:-2], '⟩⟨')
+                    AS toks FROM w{_k - 1})
+          )
+          WHERE z[2] IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        m{_k} AS (SELECT a, b, wt FROM p{_k}
+                  ORDER BY wt DESC, a, b LIMIT 1),
+        w{_k} AS (
+          SELECT word, c,
+                 replace(seq, '⟨' || a || '⟩⟨' || b
+                   || '⟩', '⟨' || a || b || '⟩') AS seq
+          FROM w{_k - 1} CROSS JOIN m{_k}
+        )""")
+        _bt_finals.append(
+            f"SELECT CAST({_k - 1} AS INT) AS merge_idx, a AS lhs, "
+            f"b AS rhs, wt AS pair_weight FROM m{_k}"
+        )
+    d["bpe_train_merges"] = (
+        "WITH " + ",".join(_bt_parts) + "\n        "
+        + " UNION ALL ".join(_bt_finals)
+    )
     d["deterministic_sample"] = f"""
         SELECT doc_id FROM documents
         WHERE CAST(concat('0x', substring(

@@ -169,6 +169,7 @@ def main() -> None:
         "gif_decode",
         "adpcm_decode",
         "flac_decode",
+        "bpe_train_merges",
         "events_funnel",
         "events_retention",
         "event_transitions",

@@ -177,15 +177,21 @@ def bpe_token_count(text_col) -> Column:
     return F.size(bpe_tokens(text_col))
 
 
-def bpe_sql_tokens(inner_sql: str) -> str:
-    """DuckDB expression producing the SAME token list from a text
-    expression — the oracle twin of ``bpe_tokens``. RE2 replacement
-    syntax uses \\1; everything else is shared literal replaces."""
-    norm = (
+def bpe_sql_norm(inner_sql: str) -> str:
+    """DuckDB twin of ``_normalized`` — shared by the encode oracle
+    and the distributed-training oracle."""
+    return (
         f"regexp_replace(trim(regexp_replace(lower({inner_sql}), "
         f"'\\s+', ' ', 'g')), "
         f"'[{_L}{_R}\\x{{10000}}-\\x{{10FFFF}}]', '', 'g')"
     )
+
+
+def bpe_sql_tokens(inner_sql: str) -> str:
+    """DuckDB expression producing the SAME token list from a text
+    expression — the oracle twin of ``bpe_tokens``. RE2 replacement
+    syntax uses \\1; everything else is shared literal replaces."""
+    norm = bpe_sql_norm(inner_sql)
     expr = (
         f"'{_L}' || array_to_string(string_split({norm}, ''), "
         f"'{_R}{_L}') || '{_R}'"

@@ -1413,3 +1413,70 @@ def test_pack_turns_order_and_straddle(spark):
     assert out[("c1", 2)] == (8, 1)   # prefix 7 → window 1, spills
     assert out[("c1", 3)] == (0, 3)   # prefix 15 → window 3
     assert out[("c2", 0)] == (1, 0)   # per-conversation reset
+
+
+def test_train_bpe_distributed_matches_reference_trainer(spark):
+    """Cross-check the distributed trainer against an independent
+    pure-Python word-level BPE trainer on a planted corpus."""
+    from json_ld_spark.operators.bpe_train import train_bpe_distributed
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "that hat is flat",
+        "chatter about the matter",
+    ] * 3 + [None, "", "   "]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_idx"], r["lhs"], r["rhs"], r["pair_weight"])
+        for r in train_bpe_distributed(docs, n_merges=6).collect()
+    ]
+
+    # independent reference: dict-based word-frequency BPE
+    from collections import Counter
+
+    wc = Counter(
+        w
+        for t in texts
+        if t
+        for w in t.lower().split()
+    )
+    segs = {w: list(w) for w in wc}
+    expect = []
+    for k in range(6):
+        pairs = Counter()
+        for w, seg in segs.items():
+            for pair in zip(seg, seg[1:]):
+                pairs[pair] += wc[w]
+        if not pairs:
+            break
+        best_n = max(pairs.values())
+        a, b = min(p for p, c in pairs.items() if c == best_n)
+        expect.append((k, a, b, best_n))
+        for w, seg in segs.items():
+            out, i = [], 0
+            while i < len(seg):
+                if i + 1 < len(seg) and seg[i] == a and seg[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seg[i])
+                    i += 1
+            segs[w] = out
+    assert got == expect
+
+
+def test_train_bpe_distributed_top_v_cap_is_deterministic(spark):
+    from json_ld_spark.operators.bpe_train import train_bpe_distributed
+
+    docs = spark.createDataFrame(
+        [(i, "aa bb aa cc dd ee aa bb") for i in range(5)],
+        "doc_id long, text string",
+    )
+    # cap to 2 words: only 'aa' (15) and 'bb' (10) survive; the first
+    # merge must come from within those words only
+    rows = train_bpe_distributed(docs, n_merges=2, top_v=2).collect()
+    assert [(r["lhs"], r["rhs"]) for r in rows] == [("a", "a"), ("b", "b")]
+    assert [r["pair_weight"] for r in rows] == [15, 10]
