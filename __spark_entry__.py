@@ -2580,6 +2580,23 @@ def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stats(synthesize_flac_media(spark, _N_MEDIA))
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC web-archive ingestion (sources/warc.py + operators/
+    warc_ops.py): every payload is a REAL .warc.gz — one gzip member
+    per record (mtime=0), strict ISO 28500 framing on read (version
+    line, Content-Length body walk, CRLFCRLF terminator). The parse
+    runs in Arrow-batched mapInPandas, one crawl file per row; the
+    oracle replays record headers and exact body byte statistics
+    from the closed forms, so a framing slip, a header mangle, or a
+    gzip-member boundary bug fails the hash."""
+    from json_ld_spark.operators.warc_ops import (
+        synthesize_warc_files,
+        warc_record_stats,
+    )
+
+    return warc_record_stats(synthesize_warc_files(spark, _N_MEDIA))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline at sf0.001."""
     return _triples(spark, SF_SMALL).select(
@@ -2649,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_decode": q_gif_decode,
         "adpcm_decode": q_adpcm_decode,
         "flac_decode": q_flac_decode,
+        "warc_ingest": q_warc_ingest,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -4202,6 +4220,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(smp) AS BIGINT) AS min_value,
                CAST(max(smp) AS BIGINT) AS max_value
         FROM v GROUP BY 1
+        """
+    # WARC oracle: header fields + exact body byte stats replayed
+    # from the synthesizer's closed forms — no gzip/framing in the
+    # loop, so only a CORRECT parse of the real container matches
+    d["warc_ingest"] = f"""
+        WITH f AS (SELECT range AS fid FROM range({_N_MEDIA})),
+        r AS (
+          SELECT fid, unnest(generate_series(0, 2 + fid % 4 - 1)) AS rid
+          FROM f
+        ),
+        b AS (
+          SELECT fid, rid,
+                 unnest(generate_series(
+                   0, 100 + (fid * 5 + rid * 11) % 200 - 1)) AS j
+          FROM r
+        )
+        SELECT fid AS file_id, CAST(rid AS INT) AS record_idx,
+               CASE rid % 3 WHEN 0 THEN 'response'
+                    WHEN 1 THEN 'request' ELSE 'metadata'
+               END AS warc_type,
+               'https://example-' || (fid % 7) || '.org/p/' || fid
+                 || '/' || rid AS target_uri,
+               CAST(count(*) AS INT) AS n_bytes,
+               CAST(sum((fid * 7 + rid * 13 + j * 3) % 256) AS BIGINT)
+                 AS sum_bytes,
+               CAST(min((fid * 7 + rid * 13 + j * 3) % 256) AS INT)
+                 AS min_byte,
+               CAST(max((fid * 7 + rid * 13 + j * 3) % 256) AS INT)
+                 AS max_byte
+        FROM b GROUP BY 1, 2, 3, 4
         """
     _steps_sql = {i + 2: s for i, s in enumerate(_FUNNEL_STEPS[1:])}
     d["events_funnel"] = f"""

@@ -170,6 +170,7 @@ def main() -> None:
         "adpcm_decode",
         "flac_decode",
         "bpe_train_merges",
+        "warc_ingest",
         "events_funnel",
         "events_retention",
         "event_transitions",

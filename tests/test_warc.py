@@ -1,0 +1,92 @@
+"""WARC ingestion: framing round-trip, strictness, member splits,
+and the distributed stats path."""
+
+import gzip
+
+import pytest
+
+
+def _mk(n_records=3):
+    from json_ld_spark.sources.warc import build_warc_gz
+
+    records = []
+    for rid in range(n_records):
+        records.append((
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:uuid:{rid}>",
+                "WARC-Target-URI": f"https://x.org/{rid}",
+            },
+            bytes((rid * 7 + j) % 256 for j in range(50 + rid)),
+        ))
+    return records, build_warc_gz(records)
+
+
+def test_warc_round_trip():
+    from json_ld_spark.sources.warc import parse_warc_gz
+
+    records, payload = _mk(4)
+    parsed = parse_warc_gz(payload)
+    assert len(parsed) == 4
+    for (h0, b0), (h1, b1) in zip(records, parsed):
+        assert b1 == b0
+        assert h1["WARC-Target-URI"] == h0["WARC-Target-URI"]
+        assert int(h1["Content-Length"]) == len(b0)
+
+
+def test_warc_uncompressed_also_parses():
+    from json_ld_spark.sources.warc import build_warc_record, parse_warc_gz
+
+    raw = build_warc_record({"WARC-Type": "metadata"}, b"hello")
+    assert parse_warc_gz(raw)[0][1] == b"hello"
+
+
+def test_warc_framing_violations_are_loud():
+    from json_ld_spark.sources.warc import parse_warc_gz
+
+    _, payload = _mk(2)
+    data = gzip.decompress(payload)
+    # wrong version line
+    with pytest.raises(ValueError):
+        parse_warc_gz(b"WARC/9.9" + data[8:])
+    # truncated body (cut before the last record's terminator)
+    with pytest.raises(ValueError):
+        parse_warc_gz(data[:-10])
+    # content-length lie
+    bad = data.replace(b"Content-Length: 50", b"Content-Length: 49", 1)
+    with pytest.raises(ValueError):
+        parse_warc_gz(bad)
+
+
+def test_warc_member_iteration_matches_records():
+    from json_ld_spark.sources.warc import iter_warc_members, parse_warc_gz
+
+    records, payload = _mk(5)
+    members = list(iter_warc_members(payload))
+    assert len(members) == 5
+    assert b"".join(members) == payload
+    # each member parses standalone — the distributed split property
+    for m, (h0, b0) in zip(members, records):
+        assert parse_warc_gz(m)[0][1] == b0
+
+
+def test_warc_record_stats_distributed(spark):
+    from json_ld_spark.operators.warc_ops import (
+        synthesize_warc_files,
+        warc_record_stats,
+    )
+
+    rows = warc_record_stats(synthesize_warc_files(spark, 12)).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file_id"], []).append(r)
+    assert set(by_file) == set(range(12))
+    for fid, rs in by_file.items():
+        assert len(rs) == 2 + fid % 4
+        for r in sorted(rs, key=lambda x: x["record_idx"]):
+            rid = r["record_idx"]
+            length = 100 + (fid * 5 + rid * 11) % 200
+            assert r["n_bytes"] == length
+            assert r["sum_bytes"] == sum(
+                (fid * 7 + rid * 13 + j * 3) % 256 for j in range(length)
+            )
