@@ -2597,6 +2597,80 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_record_stats(synthesize_warc_files(spark, _N_MEDIA))
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable domain (functions/urls.py)
+    over deterministically-messy URLs (uppercase schemes/hosts,
+    default and non-default ports, empty/dirty paths, unsorted and
+    utm_-polluted queries, fragments — every rule exercised). The
+    oracle COMPOSES the canonical form directly from the closed-form
+    parts, so the Spark side only matches by PARSING the messy
+    string correctly and applying every rule."""
+    from json_ld_spark.functions.urls import (
+        canonicalize_url,
+        registrable_domain,
+        url_parts,
+    )
+
+    d = F.col("doc_id")
+    scheme = _case_mod(d % 4, ["http", "HTTP", "https", "HTTPS"])
+    host = _case_mod(
+        d % 8,
+        [
+            "Example.COM", "www.News.co.uk", "cdn.Static.net",
+            "blog.Github.IO", "shop.example.com.au", "Sub.Domain.ORG",
+            "a.b.example.org", "M.example.com",
+        ],
+    )
+    default_port = F.when(
+        F.lower(scheme) == "http", F.lit(":80")
+    ).otherwise(F.lit(":443"))
+    port = (
+        F.when(d % 3 == 0, default_port)
+        .when(d % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = (
+        F.when(d % 5 == 0, F.lit(""))
+        .when(d % 5 == 1, F.lit("/"))
+        .when(d % 5 == 2, F.concat(F.lit("/P/"), (d % 97).cast("string")))
+        .when(
+            d % 5 == 3,
+            F.concat(F.lit("/p/"), (d % 97).cast("string"), F.lit("/")),
+        )
+        .otherwise(F.lit("/index.html"))
+    )
+    query = (
+        F.when(d % 7 == 1, F.lit("?b=2&a=1"))
+        .when(
+            d % 7 == 2,
+            F.concat(F.lit("?utm_source=x&id="), (d % 13).cast("string")),
+        )
+        .when(d % 7 == 3, F.lit("?a=1&utm_campaign=y&b=2"))
+        .when(d % 7 == 4, F.lit("?z=9"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 2 == 0, F.lit("#Sec-1")).otherwise(F.lit(""))
+    url_raw = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select("doc_id", url_raw.alias("url_raw"))
+    h = url_parts(F.col("url_raw"))["host"]
+    return staged.select(
+        "doc_id",
+        "url_raw",
+        canonicalize_url(F.col("url_raw")).alias("url_canon"),
+        h.alias("host"),
+        registrable_domain(h).alias("domain"),
+    )
+
+
+def _case_mod(expr, values: "list[str]"):
+    out = F.lit(values[-1])
+    for i in range(len(values) - 2, -1, -1):
+        out = F.when(expr == i, F.lit(values[i])).otherwise(out)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline at sf0.001."""
     return _triples(spark, SF_SMALL).select(
@@ -2667,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adpcm_decode": q_adpcm_decode,
         "flac_decode": q_flac_decode,
         "warc_ingest": q_warc_ingest,
+        "url_canonicalize": q_url_canonicalize,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -4220,6 +4295,69 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(smp) AS BIGINT) AS min_value,
                CAST(max(smp) AS BIGINT) AS max_value
         FROM v GROUP BY 1
+        """
+    # URL-canonicalization oracle: url_raw rebuilt from the same
+    # closed forms; the CANONICAL side is COMPOSED from the parts
+    # (lower host, default-port strip, sorted non-utm params, path
+    # rule, fragment drop) — so only a correct PARSE matches
+    d["url_canonicalize"] = """
+        WITH u AS (
+          SELECT doc_id,
+            CASE doc_id % 4 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
+                 WHEN 2 THEN 'https' ELSE 'HTTPS' END AS scheme,
+            CASE doc_id % 8
+                 WHEN 0 THEN 'Example.COM'
+                 WHEN 1 THEN 'www.News.co.uk'
+                 WHEN 2 THEN 'cdn.Static.net'
+                 WHEN 3 THEN 'blog.Github.IO'
+                 WHEN 4 THEN 'shop.example.com.au'
+                 WHEN 5 THEN 'Sub.Domain.ORG'
+                 WHEN 6 THEN 'a.b.example.org'
+                 ELSE 'M.example.com' END AS host,
+            CASE WHEN doc_id % 3 = 0 THEN
+                   CASE WHEN doc_id % 4 < 2 THEN ':80' ELSE ':443' END
+                 WHEN doc_id % 3 = 1 THEN ':8080'
+                 ELSE '' END AS port,
+            CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '/'
+                 WHEN 2 THEN '/P/' || (doc_id % 97)
+                 WHEN 3 THEN '/p/' || (doc_id % 97) || '/'
+                 ELSE '/index.html' END AS path,
+            CASE doc_id % 7 WHEN 1 THEN '?b=2&a=1'
+                 WHEN 2 THEN '?utm_source=x&id=' || (doc_id % 13)
+                 WHEN 3 THEN '?a=1&utm_campaign=y&b=2'
+                 WHEN 4 THEN '?z=9'
+                 ELSE '' END AS query,
+            CASE WHEN doc_id % 2 = 0 THEN '#Sec-1' ELSE '' END AS frag
+          FROM documents
+        )
+        SELECT doc_id,
+               scheme || '://' || host || port || path || query || frag
+                 AS url_raw,
+               lower(scheme) || '://' || lower(host)
+                 || (CASE WHEN port = ':8080' THEN ':8080' ELSE '' END)
+                 || (CASE WHEN doc_id % 5 IN (0, 1) THEN '/'
+                          WHEN doc_id % 5 = 2
+                            THEN '/P/' || (doc_id % 97)
+                          WHEN doc_id % 5 = 3
+                            THEN '/p/' || (doc_id % 97)
+                          ELSE '/index.html' END)
+                 || (CASE doc_id % 7
+                          WHEN 1 THEN '?a=1&b=2'
+                          WHEN 2 THEN '?id=' || (doc_id % 13)
+                          WHEN 3 THEN '?a=1&b=2'
+                          WHEN 4 THEN '?z=9'
+                          ELSE '' END) AS url_canon,
+               lower(host) AS host,
+               CASE doc_id % 8
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'news.co.uk'
+                    WHEN 2 THEN 'static.net'
+                    WHEN 3 THEN 'blog.github.io'
+                    WHEN 4 THEN 'example.com.au'
+                    WHEN 5 THEN 'domain.org'
+                    WHEN 6 THEN 'example.org'
+                    ELSE 'example.com' END AS domain
+        FROM u
         """
     # WARC oracle: header fields + exact body byte stats replayed
     # from the synthesizer's closed forms — no gzip/framing in the

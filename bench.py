@@ -171,6 +171,7 @@ def main() -> None:
         "flac_decode",
         "bpe_train_merges",
         "warc_ingest",
+        "url_canonicalize",
         "events_funnel",
         "events_retention",
         "event_transitions",

@@ -1480,3 +1480,52 @@ def test_train_bpe_distributed_top_v_cap_is_deterministic(spark):
     rows = train_bpe_distributed(docs, n_merges=2, top_v=2).collect()
     assert [(r["lhs"], r["rhs"]) for r in rows] == [("a", "a"), ("b", "b")]
     assert [r["pair_weight"] for r in rows] == [15, 10]
+
+
+def test_url_canonicalization_rules(spark):
+    import pyspark.sql.functions as F
+
+    from json_ld_spark.functions.urls import (
+        canonicalize_url,
+        registrable_domain,
+        url_parts,
+    )
+
+    cases = [
+        # (raw, canonical, domain)
+        ("HTTP://Example.COM:80/a/b/?b=2&a=1#frag",
+         "http://example.com/a/b?a=1&b=2", "example.com"),
+        ("https://www.News.co.uk:443/", "https://www.news.co.uk/",
+         "news.co.uk"),
+        ("https://blog.Github.IO:8443/Path",
+         "https://blog.github.io:8443/Path", "blog.github.io"),
+        ("http://x.org?utm_source=a&utm_campaign=b", "http://x.org/",
+         "x.org"),
+        ("http://shop.example.com.au/p//", "http://shop.example.com.au/p",
+         "example.com.au"),
+        ("not a url", "", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, r) for i, (r, _, _) in enumerate(cases)], "i long, url string"
+    )
+    h = url_parts(F.col("url"))["host"]
+    got = {
+        r["i"]: (r["c"], r["d"])
+        for r in df.select(
+            "i",
+            canonicalize_url(F.col("url")).alias("c"),
+            F.when(h == "", F.lit("")).otherwise(
+                registrable_domain(h)
+            ).alias("d"),
+        ).collect()
+    }
+    for i, (_, want_c, want_d) in enumerate(cases):
+        assert got[i] == (want_c, want_d), (i, got[i])
+
+
+def test_url_canonicalize_plan_is_jvm_only(spark):
+    plan = __import__("__spark_entry__").queries()["url_canonicalize"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # per-row expressions: no shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
