@@ -2530,6 +2530,68 @@ def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization under the gate: events replayed as
+    THREE event-time-ordered micro-batches (the same 96h/48h splits
+    as the HLL gate, no redelivery — sessionization is not
+    merge-idempotent); per-user state stitches sessions ACROSS the
+    batch boundaries, so any session straddling a split can only
+    come out right via state carry-over. The max-seq snapshot per
+    (user, session) must equal the batch lag-window answer — the
+    events_sessionize oracle verbatim. A dropped state row, a wrong
+    gap comparison at the boundary, or per-chunk sorting inside a
+    group all fail the hash."""
+    import datetime
+
+    from pyspark.sql.window import Window
+
+    from json_ld_spark.streaming.stream_pipeline import stream_sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    tmax = ev.agg(F.max("ts")).collect()[0][0]  # 1-row parameter fetch
+    t1 = tmax - datetime.timedelta(hours=96)
+    t2 = tmax - datetime.timedelta(hours=48)
+    f0 = ev.filter(F.col("ts") < F.lit(t1))
+    f1 = ev.filter((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2)))
+    f2 = ev.filter(F.col("ts") >= F.lit(t2))
+
+    base = _fresh_stream_dir("kgsess_")
+    in_dir = _stage_ordered_batches(base, (f0, f1, f2))
+    schema = "event_id long, ts timestamp_ntz, user_id long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    keyed = stream.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("epoch"),
+        "value",
+    )
+    out_dir = _run_available_now(stream_sessionize(keyed), base)
+    snaps = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id", "session_idx").orderBy(F.desc("seq"))
+    return (
+        snaps.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "session_idx",
+            "n_events",
+            F.timestamp_micros("start_epoch")
+            .cast("timestamp_ntz")
+            .alias("session_start"),
+            F.timestamp_micros("end_epoch")
+            .cast("timestamp_ntz")
+            .alias("session_end"),
+            F.round("vsum", 2).alias("session_value"),
+        )
+    )
+
+
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF (LZW) decode under the hash gate: every payload is a
     genuine GIF89a stream — palette, sub-blocks, variable-width LZW
@@ -2749,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "weighted_sample": q_weighted_sample,
         "stream_hll_distinct": q_stream_hll_distinct,
+        "stream_sessionize": q_stream_sessionize,
         "pca_top_component": q_pca_top_component,
         "table_profile": q_table_profile,
         "mention_kwic": q_mention_kwic,
@@ -3961,6 +4024,9 @@ def oracle_sql() -> dict[str, str]:
     # streaming HLL: the stateful register stream's FINAL snapshot
     # must equal the batch sketch — same core, no exact-count join
     d["stream_hll_distinct"] = _hll_core + _hll_select + " FROM e"
+    # streaming sessionization: final snapshots must equal the
+    # batch lag-window answer — the events_sessionize oracle verbatim
+    d["stream_sessionize"] = d["events_sessionize"]
 
     # table profile: per-column counts + the full HLL core, one
     # UNION ALL branch per profiled column

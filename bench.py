@@ -187,7 +187,8 @@ def main() -> None:
     # dominate; min-of-N would only re-measure fixed latency)
     stream_queries = ["stream_triples", "stream_turn_chain",
                       "stream_windowed_counts", "stream_turn_rate",
-                      "stream_dedup", "stream_hll_distinct"]
+                      "stream_dedup", "stream_hll_distinct",
+                      "stream_sessionize"]
     qmap = entry.queries()
     for name in bench_queries:
         dt = float("inf")

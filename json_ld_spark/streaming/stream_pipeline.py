@@ -306,3 +306,92 @@ def stream_hll_registers(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_sessionize(
+    keyed_events: DataFrame,
+    gap: int = 1800 * 1_000_000,
+) -> DataFrame:
+    """Streaming sessionization (applyInPandasWithState): the
+    event-time-gap session builder running ACROSS micro-batches.
+
+    The batch path sessionizes with a lag-window over the whole
+    history; a stream only sees a slice per batch, so the per-user
+    state carries (current session_idx, last event epoch, running
+    aggregates) forward — a session that straddles a micro-batch
+    boundary is stitched by state, not recomputed.
+
+    Every invocation emits one SNAPSHOT row per session touched in
+    that batch (cumulative aggregates, monotone ``seq``): a session
+    closed mid-batch gets its final row; the still-open session gets
+    a row that a later batch may supersede. The max-seq row per
+    (user, session) is therefore the session's final aggregate —
+    the same last-snapshot-wins contract as stream_hll_registers —
+    and open sessions at end-of-replay are flushed implicitly by
+    their latest snapshot.
+
+    Requires event-time-ordered batches per user (the staged-replay
+    gate guarantees it; a production pipeline puts a watermark-sorted
+    buffer in front, or accepts resequencing at compaction as the
+    batch twin documents). State is O(1) per user.
+
+    Input: (user_id long, event_id long, epoch long, value double) —
+    epoch precomputed JVM-side so only four narrow columns cross
+    into Python. ``gap`` is in the SAME unit as ``epoch`` (the gate
+    passes microsecond epochs so sub-second timestamps survive the
+    round-trip exactly)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "user_id long, seq int, session_idx long, n_events long, "
+        "start_epoch long, end_epoch long, vsum double"
+    )
+    state_schema = (
+        "session_idx long, last_epoch long, start_epoch long, "
+        "n long, vsum double, seq int"
+    )
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            sidx, last, start, n, vsum, seq = state.get
+        else:
+            sidx, last, start, n, vsum, seq = -1, None, 0, 0, 0.0, 0
+        # collect ALL chunks before sorting (same contract as
+        # stateful_turn_chain: Arrow chunking must not split order)
+        ev = sorted(
+            (int(e), int(i), float(v))
+            for pdf in pdf_iter
+            for e, i, v in zip(pdf["epoch"], pdf["event_id"], pdf["value"])
+        )
+        seq += 1
+        touched: "dict[int, tuple]" = {}
+        for epoch, _eid, value in ev:
+            if last is None or epoch - last > gap:
+                sidx += 1
+                start, n, vsum = epoch, 0, 0.0
+            n += 1
+            vsum += value
+            last = epoch
+            touched[sidx] = (start, last, n, vsum)
+        state.update((sidx, last, start, n, vsum, seq))
+        yield pd.DataFrame(
+            [
+                (user_id, seq, si, cnt, st, en, vs)
+                for si, (st, en, cnt, vs) in touched.items()
+            ],
+            columns=[
+                "user_id", "seq", "session_idx", "n_events",
+                "start_epoch", "end_epoch", "vsum",
+            ],
+        )
+
+    return keyed_events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -237,3 +237,66 @@ def test_stream_exact_dedup_drops_cross_batch_duplicates(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_stream_sessionize_stitches_across_batches(spark, tmp_path):
+    """A session straddling a micro-batch boundary must be stitched
+    by state: batch 1 ends mid-session (events at t=0s, 600s), batch
+    2 continues it (t=1200s — gap 600 < 1800) and then opens a new
+    session (t=5000s). Final snapshots must show ONE 3-event session
+    plus the new 1-event session."""
+    import glob
+
+    from json_ld_spark.streaming.stream_pipeline import stream_sessionize
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    us = 1_000_000
+    rows_b1 = [
+        (7, 1, 0 * us, 1.0),
+        (7, 2, 600 * us, 2.0),
+        (9, 3, 100 * us, 5.0),
+    ]
+    rows_b2 = [
+        (7, 4, 1200 * us, 4.0),   # continues user 7's session
+        (7, 5, 5000 * us, 8.0),   # gap 3800s > 1800s: new session
+    ]
+    schema = "user_id long, event_id long, epoch long, value double"
+    for i, rows in enumerate([rows_b1, rows_b2]):
+        staging = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(staging)
+        )
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(in_dir / f"batch{i}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (1700000000 + i * 100, 1700000000 + i * 100))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "replay should self-terminate"
+    snaps = spark.sql("SELECT * FROM sess_test").collect()
+    final = {}
+    for r in snaps:
+        key = (r.user_id, r.session_idx)
+        if key not in final or r.seq > final[key].seq:
+            final[key] = r
+    got = {
+        k: (v.n_events, v.start_epoch, v.end_epoch, v.vsum)
+        for k, v in final.items()
+    }
+    assert got[(7, 0)] == (3, 0, 1200 * us, 7.0), got
+    assert got[(7, 1)] == (1, 5000 * us, 5000 * us, 8.0), got
+    assert got[(9, 0)] == (1, 100 * us, 100 * us, 5.0), got
