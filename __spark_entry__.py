@@ -2726,6 +2726,51 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/html_text.py) over
+    deterministically-messy synthesized pages: script/style blocks
+    whose CONTENT must vanish (including a '<' inside the script),
+    comments, uppercase tags/attributes, double-encoded entities
+    (&amp;lt; must decode to &lt;, not <), and mixed-case hrefs.
+    The oracle replays the same RE2 regex chain step-for-step, so a
+    wrong strip order (tags before blocks), a greedy block match
+    eating the body, or an entity decoded in the wrong order fails
+    the hash."""
+    from json_ld_spark.functions.html_text import (
+        html_links,
+        html_title,
+        html_to_text,
+    )
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<HTML><head><title>Doc "),
+        d.cast("string"),
+        F.lit(" &amp; friends &#39;q&#39;</title>"),
+        F.lit('<style type="text/css">p { color: red; }</style>'),
+        F.lit("<script>var x = 1 < 2;</script></head><body><!-- hidden "),
+        (d % 9).cast("string"),
+        F.lit(" --><h1>H"),
+        (d % 7).cast("string"),
+        F.lit("</h1><p>"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 160),
+        F.lit(' &lt;b&gt; &amp;lt;i&amp;gt;</p><a href="https://ex.org/a/'),
+        (d % 5).cast("string"),
+        F.lit('">x</a> <A HREF="https://ex.org/b/'),
+        (d % 3).cast("string"),
+        F.lit('?q=1">y</A></body></html>'),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select("doc_id", html.alias("html"))
+    return staged.select(
+        "doc_id",
+        html_title(F.col("html")).alias("title"),
+        html_to_text(F.col("html")).alias("text_out"),
+        F.size(html_links(F.col("html"))).alias("n_links"),
+        F.array_join(html_links(F.col("html")), "|").alias("links"),
+    )
+
+
 def _case_mod(expr, values: "list[str]"):
     out = F.lit(values[-1])
     for i in range(len(values) - 2, -1, -1):
@@ -2804,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flac_decode": q_flac_decode,
         "warc_ingest": q_warc_ingest,
         "url_canonicalize": q_url_canonicalize,
+        "html_extract": q_html_extract,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -4424,6 +4470,47 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 6 THEN 'example.org'
                     ELSE 'example.com' END AS domain
         FROM u
+        """
+    # HTML-extraction oracle: the same RE2 regex chain replayed
+    # step-for-step over the same synthesized page
+    _html_sql = (
+        "'<HTML><head><title>Doc ' || doc_id"
+        " || ' &amp; friends &#39;q&#39;</title>'"
+        " || '<style type=\"text/css\">p { color: red; }</style>'"
+        " || '<script>var x = 1 < 2;</script></head><body><!-- hidden '"
+        " || (doc_id % 9) || ' --><h1>H' || (doc_id % 7) || '</h1><p>'"
+        " || substr(coalesce(text, ''), 1, 160)"
+        " || ' &lt;b&gt; &amp;lt;i&amp;gt;</p>"
+        "<a href=\"https://ex.org/a/' || (doc_id % 5)"
+        " || '\">x</a> <A HREF=\"https://ex.org/b/' || (doc_id % 3)"
+        " || '?q=1\">y</A></body></html>'"
+    )
+    _ent_chain = "{}"
+    for _ent, _rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        _ent_chain = f"replace({_ent_chain}, '{_ent}', '{_rep}')"
+    _stripped = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'), "
+        "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), "
+        "'(?s)<!--.*?-->', ' ', 'g'), '(?s)<[^>]*>', ' ', 'g')"
+    )
+    d["html_extract"] = f"""
+        WITH p AS (SELECT doc_id, {_html_sql} AS h FROM documents)
+        SELECT doc_id,
+               trim({_ent_chain.format(
+                   "regexp_extract(h, '(?is)<title[^>]*>(.*?)</title>', 1)"
+               )}) AS title,
+               trim(regexp_replace({_ent_chain.format(_stripped)},
+                 '\\s+', ' ', 'g')) AS text_out,
+               CAST(len(regexp_extract_all(h, '(?i)href="([^"]*)"', 1))
+                 AS INT) AS n_links,
+               array_to_string(
+                 regexp_extract_all(h, '(?i)href="([^"]*)"', 1), '|')
+                 AS links
+        FROM p
         """
     # WARC oracle: header fields + exact body byte stats replayed
     # from the synthesizer's closed forms — no gzip/framing in the

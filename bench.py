@@ -172,6 +172,7 @@ def main() -> None:
         "bpe_train_merges",
         "warc_ingest",
         "url_canonicalize",
+        "html_extract",
         "events_funnel",
         "events_retention",
         "event_transitions",

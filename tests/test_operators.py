@@ -1529,3 +1529,52 @@ def test_url_canonicalize_plan_is_jvm_only(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # per-row expressions: no shuffle
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_html_to_text_rules(spark):
+    import pyspark.sql.functions as F
+
+    from json_ld_spark.functions.html_text import (
+        html_links,
+        html_title,
+        html_to_text,
+    )
+
+    cases = [
+        # script content (with a '<' inside) must vanish entirely
+        ("<p>a</p><script>if (1<2) alert('x')</script><p>b</p>", "a b"),
+        # style blocks too, case-insensitive, multiline
+        ("<STYLE>\np{}\n</STYLE>hello", "hello"),
+        # comments, including multiline
+        ("x<!-- one\ntwo -->y", "x y"),
+        # double-encoded entity decodes ONE level
+        ("&amp;lt;tag&amp;gt;", "&lt;tag&gt;"),
+        # plain entities decode
+        ("a &lt;b&gt; &quot;c&quot; &#39;d&#39;&nbsp;e &amp; f",
+         "a <b> \"c\" 'd' e & f"),
+        # two scripts: non-greedy match must not eat the text between
+        ("<script>1</script>MID<script>2</script>", "MID"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", html_to_text(F.col("h")).alias("t")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+    one = spark.createDataFrame(
+        [(
+            '<title>T &amp; U</title><a href="u1">x</a><A HREF="u2">y</A>',
+        )],
+        "h string",
+    ).select(
+        html_title(F.col("h")).alias("title"),
+        html_links(F.col("h")).alias("links"),
+    ).collect()[0]
+    assert one["title"] == "T & U"
+    assert one["links"] == ["u1", "u2"]
