@@ -2726,6 +2726,27 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEG_K = 3
+_NEG_BUCKETS = 16
+
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corrupt-tail negative sampling over the emitted
+    KG's mention→entity pairs (operators/kg_train.py): bucketed hash
+    indexing of the entity vocabulary (no single-task global sort),
+    md5-family probe arithmetic, and the standard filtered setting
+    (negatives colliding with true pairs anti-joined away). The
+    oracle replays vocabulary bucketing, per-bucket ranks, probe
+    arithmetic, and the filter — so the whole sample is hash-gated."""
+    from json_ld_spark.operators.kg_train import negative_samples
+
+    t = _triples(spark, sf_dir)
+    pos = t.filter(F.col("pred") == VOCAB + "of").select(
+        F.col("subj").alias("head"), F.col("obj_value").alias("tail")
+    )
+    return negative_samples(pos, k=_NEG_K, n_buckets=_NEG_BUCKETS)
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → text extraction (functions/html_text.py) over
     deterministically-messy synthesized pages: script/style blocks
@@ -2850,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "url_canonicalize": q_url_canonicalize,
         "html_extract": q_html_extract,
+        "kg_negative_samples": q_kg_negative_samples,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -4470,6 +4492,49 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 6 THEN 'example.org'
                     ELSE 'example.com' END AS domain
         FROM u
+        """
+    # negative-sampling oracle: vocabulary bucketing, per-bucket
+    # ranks, md5-family probe arithmetic, and the filtered anti-join
+    # all replayed — over the same mention-triple derivation
+    _neg_h_ent = _MD5H60.format(x="entity")
+    _neg_h_probe = _MD5H60.format(x="head || '|' || k_idx")
+    d["kg_negative_samples"] = f"""
+        WITH m AS ({d["kg_triples_mentions"]}),
+        pos AS (
+          SELECT subj AS head, obj_value AS tail FROM m
+          WHERE pred = '{VOCAB}of'
+        ),
+        vocab AS (SELECT DISTINCT tail AS entity FROM pos),
+        vb AS (
+          SELECT entity, {_neg_h_ent} % {_NEG_BUCKETS} AS bucket
+          FROM vocab
+        ),
+        ranked AS (
+          SELECT entity, bucket,
+                 row_number() OVER (PARTITION BY bucket ORDER BY entity)
+                   - 1 AS local_rank
+          FROM vb
+        ),
+        sizes AS (
+          SELECT bucket, count(*) AS bucket_size FROM ranked GROUP BY 1
+        ),
+        probes AS (
+          SELECT head, tail, k_idx, {_neg_h_probe} AS r
+          FROM pos CROSS JOIN (VALUES (0), (1), (2)) AS kk(k_idx)
+        ),
+        placed AS (
+          SELECT head, tail, k_idx, s.bucket,
+                 (r // {_NEG_BUCKETS}) % s.bucket_size AS local_rank
+          FROM probes
+          JOIN sizes s ON s.bucket = r % {_NEG_BUCKETS}
+        ),
+        picked AS (
+          SELECT head, CAST(k_idx AS INT) AS k_idx, entity AS neg_tail
+          FROM placed JOIN ranked USING (bucket, local_rank)
+        )
+        SELECT p.head, p.k_idx, p.neg_tail
+        FROM picked p
+        ANTI JOIN pos ON p.head = pos.head AND p.neg_tail = pos.tail
         """
     # HTML-extraction oracle: the same RE2 regex chain replayed
     # step-for-step over the same synthesized page

@@ -173,6 +173,7 @@ def main() -> None:
         "warc_ingest",
         "url_canonicalize",
         "html_extract",
+        "kg_negative_samples",
         "events_funnel",
         "events_retention",
         "event_transitions",

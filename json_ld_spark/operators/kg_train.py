@@ -1,0 +1,82 @@
+"""KG-embedding training-data operators: deterministic negative
+sampling (corrupt-tail triples), the standard companion to a
+knowledge graph destined for TransE/DistMult-style training
+(Bordes et al., NeurIPS 2013 — public knowledge).
+
+Design constraints at 100 TB:
+
+  * NO global contiguous entity index — a single-partition
+    ``row_number() OVER (ORDER BY entity)`` is a one-task sort at
+    scale. Instead the entity vocabulary is hash-bucketed (B
+    buckets) and ranked WITHIN each bucket; a probe picks
+    (bucket, local_rank) arithmetically from the per-bucket size.
+    Ranking parallelism = B, and the negative-pick join is an
+    equi-join on (bucket, local_rank) — co-partitioned, no skew
+    (buckets are hash-balanced).
+  * Deterministic: the probe hash is the cross-engine md5 family
+    (dedup.md5_hash60), so the ENTIRE sample — bucket assignment,
+    local ranks, probe arithmetic, accidental-positive filter — is
+    replayed by the SQL oracle.
+  * Filtered sampling: corruptions that collide with a TRUE (head,
+    tail) pair are dropped by an anti-join (the standard "filtered"
+    setting, so the training loss never pushes a true triple down).
+    Output is therefore ≤ k negatives per positive, deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from json_ld_spark.operators.dedup import md5_hash60
+
+
+def negative_samples(
+    positives: DataFrame,
+    k: int = 3,
+    n_buckets: int = 16,
+    head_col: str = "head",
+    tail_col: str = "tail",
+) -> DataFrame:
+    """(head, k_idx, neg_tail): up to ``k`` deterministic corrupt-tail
+    negatives per positive pair, drawn from the tail vocabulary via
+    bucketed hash indexing and filtered against true pairs."""
+    head, tail = F.col(head_col), F.col(tail_col)
+    vocab = (
+        positives.select(tail.alias("entity"))
+        .distinct()
+        .withColumn("bucket", F.pmod(md5_hash60(F.col("entity")), n_buckets))
+    )
+    w = Window.partitionBy("bucket").orderBy("entity")
+    ranked = vocab.select(
+        "entity",
+        "bucket",
+        (F.row_number().over(w) - 1).alias("local_rank"),
+    )
+    sizes = ranked.groupBy("bucket").agg(
+        F.count("*").alias("bucket_size")
+    )
+    probes = positives.select(
+        head.alias("head"),
+        tail.alias("tail"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("k_idx"),
+    ).withColumn(
+        "_r",
+        md5_hash60(
+            F.concat_ws("|", F.col("head"), F.col("k_idx").cast("string"))
+        ),
+    ).withColumn("bucket", F.pmod(F.col("_r"), n_buckets))
+    # sizes is B rows — broadcast; local pick = (r div B) mod size
+    placed = probes.join(F.broadcast(sizes), "bucket").withColumn(
+        "local_rank",
+        F.pmod(
+            F.expr(f"_r div {n_buckets}"), F.col("bucket_size")
+        ),
+    )
+    picked = placed.join(ranked, ["bucket", "local_rank"]).select(
+        "head", "k_idx", F.col("entity").alias("neg_tail")
+    )
+    true_pairs = positives.select(
+        head.alias("head"), tail.alias("neg_tail")
+    ).distinct()
+    return picked.join(true_pairs, ["head", "neg_tail"], "left_anti")

@@ -1578,3 +1578,29 @@ def test_html_to_text_rules(spark):
     ).collect()[0]
     assert one["title"] == "T & U"
     assert one["links"] == ["u1", "u2"]
+
+
+def test_negative_samples_properties(spark):
+    from json_ld_spark.operators.kg_train import negative_samples
+
+    pos = spark.createDataFrame(
+        [(f"h{i}", f"e{i % 7}") for i in range(40)],
+        "head string, tail string",
+    )
+    out = negative_samples(pos, k=3, n_buckets=4)
+    rows = out.collect()
+    # ≤ k negatives per head, k_idx within range
+    from collections import Counter
+
+    per_head = Counter(r["head"] for r in rows)
+    assert all(c <= 3 for c in per_head.values())
+    assert all(0 <= r["k_idx"] < 3 for r in rows)
+    # filtered: no negative collides with the head's true tail
+    true_pairs = {(f"h{i}", f"e{i % 7}") for i in range(40)}
+    assert all((r["head"], r["neg_tail"]) not in true_pairs for r in rows)
+    # negatives come from the tail vocabulary
+    vocab = {f"e{j}" for j in range(7)}
+    assert all(r["neg_tail"] in vocab for r in rows)
+    # deterministic across reruns
+    again = sorted(map(tuple, negative_samples(pos, k=3, n_buckets=4).collect()))
+    assert again == sorted(map(tuple, rows))
