@@ -2173,6 +2173,38 @@ def _planted_ring_edges() -> "list[tuple[str, str]]":
     ]
 
 
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+_KCORE_CHAIN = 9
+
+
+def _planted_chain_edges() -> "list[tuple[str, str]]":
+    """Deterministic 9-node path attached to nothing: with k=2 the
+    endpoints peel first and the chain unravels two nodes per round,
+    so 4+ peel ROUNDS are individually exercised — the co-mention
+    clique alone would survive round 1 unchanged and make the
+    iterative gate vacuous."""
+    return [
+        (f"urn:kcore:chain/{i}", f"urn:kcore:chain/{i + 1}")
+        for i in range(_KCORE_CHAIN - 1)
+    ]
+
+
+def q_entity_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peeling (operators/graph.py) over the
+    co-mention graph plus a planted peel chain: each round drops
+    nodes with degree < k and their edges; the oracle replays every
+    round CTE-for-CTE, so a degree computed on stale edges, a missed
+    endpoint filter, or an off-by-one in the round count fails the
+    hash. The planted path guarantees multiple rounds do real work."""
+    from json_ld_spark.operators.graph import k_core
+
+    edges = _cooccurrence_edges(spark, sf_dir).unionByName(
+        spark.createDataFrame(_planted_chain_edges(), ["src", "dst"])
+    )
+    return k_core(edges, k=_KCORE_K, n_rounds=_KCORE_ROUNDS)
+
+
 def q_entity_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic–Adar link prediction over the constructed KG (plus the
     planted gazetteer ring — see _planted_ring_edges): scores for
@@ -2872,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "html_extract": q_html_extract,
         "kg_negative_samples": q_kg_negative_samples,
+        "entity_kcore": q_entity_kcore,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -4492,6 +4525,40 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 6 THEN 'example.org'
                     ELSE 'example.com' END AS domain
         FROM u
+        """
+    # k-core oracle: every peel round replayed CTE-for-CTE — degree
+    # over surviving edges, HAVING >= k, both-endpoint edge filter
+    _kc_chain = ", ".join(
+        f"('{s}', '{t}')" for s, t in _planted_chain_edges()
+    )
+    _kc_rounds = []
+    for _r in range(1, _KCORE_ROUNDS + 1):
+        _kc_rounds.append(f"""
+        n{_r} AS (
+          SELECT u FROM u{_r - 1} GROUP BY u
+          HAVING count(*) >= {_KCORE_K}
+        ),
+        u{_r} AS (
+          SELECT uu.u, uu.v FROM u{_r - 1} uu
+          JOIN n{_r} a ON uu.u = a.u
+          JOIN n{_r} b ON uu.v = b.u
+        )""")
+    d["entity_kcore"] = _MENTION_CTE + f"""
+        , e0 AS (
+          SELECT DISTINCT ma.iri AS src, mb.iri AS dst
+          FROM m ma JOIN m mb
+            ON ma.conv_id = mb.conv_id AND ma.turn_idx = mb.turn_idx
+           AND ma.iri < mb.iri
+          UNION
+          SELECT * FROM (VALUES {_kc_chain}) AS c(src, dst)
+        ),
+        u0 AS (
+          SELECT src AS u, dst AS v FROM e0
+          UNION ALL
+          SELECT dst AS u, src AS v FROM e0
+        ),{",".join(_kc_rounds)}
+        SELECT u AS entity, CAST(count(*) AS BIGINT) AS degree
+        FROM u{_KCORE_ROUNDS} GROUP BY 1
         """
     # negative-sampling oracle: vocabulary bucketing, per-bucket
     # ranks, md5-family probe arithmetic, and the filtered anti-join

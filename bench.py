@@ -174,6 +174,7 @@ def main() -> None:
         "url_canonicalize",
         "html_extract",
         "kg_negative_samples",
+        "entity_kcore",
         "events_funnel",
         "events_retention",
         "event_transitions",

@@ -414,3 +414,47 @@ def adamic_adar(
     )
     adj = sym.select(F.col("s").alias("u"), F.col("t").alias("v"))
     return scored.join(adj, ["u", "v"], "left_anti")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    n_rounds: int = 6,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """Fixed-round k-core peeling: ``n_rounds`` iterations of
+    "drop every node with (undirected) degree < k, drop its edges".
+
+    Fixed rounds — not a convergence test — for the same reason as
+    ``pagerank``: the recipe is deterministic and an SQL engine
+    replays it round-for-round, so the driver hash-gates the whole
+    iterative computation. A converged k-core needs rounds ≥ the
+    longest peel chain (a path graph peels two ends per round);
+    callers size ``n_rounds`` to their graph or re-run until stable.
+
+    Output: (entity, degree) for nodes surviving all rounds, with
+    their degree in the peeled graph.
+
+    Scale: each round is one groupBy (degree) + two semi-joins
+    (filter both endpoints), all keyed on node id — no all-pairs
+    anything; per-round lineage cuts keep the plan flat, the same
+    iterative-operator discipline as connected components."""
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    und = cut_lineage(und, checkpoint_dir)
+    for _ in range(n_rounds):
+        keep = (
+            und.groupBy("src")
+            .agg(F.count("*").alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select(F.col("src").alias("_n"))
+        )
+        und = und.join(
+            keep.withColumnRenamed("_n", "src"), "src", "left_semi"
+        ).join(keep.withColumnRenamed("_n", "dst"), "dst", "left_semi")
+        und = cut_lineage(und, checkpoint_dir)
+    return (
+        und.groupBy(F.col("src").alias("entity"))
+        .agg(F.count("*").alias("degree"))
+    )

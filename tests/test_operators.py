@@ -1604,3 +1604,25 @@ def test_negative_samples_properties(spark):
     # deterministic across reruns
     again = sorted(map(tuple, negative_samples(pos, k=3, n_buckets=4).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_k_core_peels_chain_keeps_cycle(spark):
+    from json_ld_spark.operators.graph import k_core
+
+    # 6-node path (fully unravels under k=2) + 4-cycle (2-core: stays)
+    edges = [(f"p{i}", f"p{i+1}") for i in range(5)] + [
+        ("c0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c0"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["entity"]: r["degree"]
+        for r in k_core(df, k=2, n_rounds=6).collect()
+    }
+    assert got == {"c0": 2, "c1": 2, "c2": 2, "c3": 2}
+    # fewer rounds than the peel chain: fixed-round recipe leaves the
+    # unfinished middle (documented semantics, what the oracle replays)
+    partial = {
+        r["entity"]
+        for r in k_core(df, k=2, n_rounds=1).collect()
+    }
+    assert {"c0", "c1", "c2", "c3"} <= partial and "p0" not in partial
