@@ -2831,6 +2831,49 @@ def _case_mod(expr, values: "list[str]"):
     return out
 
 
+def q_crawl_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl pipeline under ONE gate: .warc.gz files with
+    HTML response bodies → gzip-member + ISO 28500 framing parse →
+    UTF-8 decode → HTML link extraction → URL canonicalization
+    (port/utm/fragment/path/sort rules) → eTLD+1 → per-domain
+    aggregate. The oracle COMPOSES the expected links and canonical
+    forms from the synthesizer's closed forms — no parser in the
+    oracle's loop — so a defect in ANY stage (framing, entity
+    handling, regex chain, canonicalization rule, suffix-list
+    lookup) surfaces as a hash mismatch here even when each
+    stage's own gate is green."""
+    from json_ld_spark.functions.html_text import html_links
+    from json_ld_spark.functions.urls import (
+        canonicalize_url,
+        registrable_domain,
+        url_parts,
+    )
+    from json_ld_spark.operators.warc_ops import (
+        synthesize_warc_html,
+        warc_html_pages,
+    )
+
+    pages = warc_html_pages(synthesize_warc_html(spark, _N_MEDIA))
+    links = pages.select(
+        "file_id",
+        "record_idx",
+        F.explode(html_links(F.col("html"))).alias("link"),
+    )
+    h = url_parts(F.col("link"))["host"]
+    enriched = links.select(
+        "file_id",
+        "record_idx",
+        canonicalize_url(F.col("link")).alias("canon"),
+        registrable_domain(h).alias("domain"),
+    )
+    return enriched.groupBy("domain").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("file_id", "record_idx").alias("n_pages"),
+        F.countDistinct("canon").alias("n_urls"),
+        F.min("canon").alias("min_canon"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline at sf0.001."""
     return _triples(spark, SF_SMALL).select(
@@ -2905,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "kg_negative_samples": q_kg_negative_samples,
         "entity_kcore": q_entity_kcore,
+        "crawl_domain_stats": q_crawl_domain_stats,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -4525,6 +4569,32 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 6 THEN 'example.org'
                     ELSE 'example.com' END AS domain
         FROM u
+        """
+    # crawl-pipeline oracle: expected links + canonical forms COMPOSED
+    # from the synthesizer's closed forms — the Spark side only
+    # matches by running the whole WARC→HTML→URL chain correctly
+    d["crawl_domain_stats"] = f"""
+        WITH f AS (SELECT range AS fid FROM range({_N_MEDIA})),
+        r AS (
+          SELECT fid, unnest(generate_series(0, 2 + fid % 3 - 1)) AS rid
+          FROM f
+        ),
+        l AS (
+          SELECT fid, rid,
+                 'example-' || (rid % 4) || '.com' AS domain,
+                 'http://example-' || (rid % 4) || '.com/A/'
+                   || (fid % 6) || '?a=1&b=2' AS canon
+          FROM r
+          UNION ALL
+          SELECT fid, rid, 'news.co.uk',
+                 'https://news.co.uk/x/' || (fid % 3)
+          FROM r
+        )
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT (fid, rid)) AS BIGINT) AS n_pages,
+               CAST(count(DISTINCT canon) AS BIGINT) AS n_urls,
+               min(canon) AS min_canon
+        FROM l GROUP BY 1
         """
     # k-core oracle: every peel round replayed CTE-for-CTE — degree
     # over surviving edges, HAVING >= k, both-endpoint edge filter

@@ -175,6 +175,7 @@ def main() -> None:
         "html_extract",
         "kg_negative_samples",
         "entity_kcore",
+        "crawl_domain_stats",
         "events_funnel",
         "events_retention",
         "event_transitions",

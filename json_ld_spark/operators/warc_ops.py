@@ -69,6 +69,93 @@ def synthesize_warc_files(spark: SparkSession, n: int = 240) -> DataFrame:
     )
 
 
+def synthesize_warc_html(spark: SparkSession, n: int = 240) -> DataFrame:
+    """(file_id, payload): .warc.gz crawl files whose response bodies
+    are REAL HTML pages (UTF-8) — the input for the end-to-end crawl
+    pipeline gate (WARC framing → HTML strip → URL canonicalization →
+    domain stats). Closed forms:
+
+      n_records(fid) = 2 + fid % 3, every record a 'response'
+      page(fid, rid) = title 'Page {fid}-{rid}', one <p> with
+        'content {(fid*7 + rid*13) % 101} &amp; text', two links:
+          HTTP://Example-{rid % 4}.COM:80/A/{fid % 6}/
+            ?utm_source=z&b=2&a=1#f
+          https://news.co.uk/x/{fid % 3}
+    """
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from json_ld_spark.sources.warc import build_warc_gz
+
+        for pdf in it:
+            rows = []
+            for fid in pdf["id"]:
+                fid = int(fid)
+                records = []
+                for rid in range(2 + fid % 3):
+                    html = (
+                        f"<html><head><title>Page {fid}-{rid}</title>"
+                        "<style>p { x: y; }</style></head><body>"
+                        "<!-- boilerplate -->"
+                        f"<p>content {(fid * 7 + rid * 13) % 101} "
+                        "&amp; text</p>"
+                        f'<a href="HTTP://Example-{rid % 4}.COM:80'
+                        f'/A/{fid % 6}/?utm_source=z&b=2&a=1#f">l1</a>'
+                        f'<a href="https://news.co.uk/x/{fid % 3}">l2</a>'
+                        "</body></html>"
+                    )
+                    headers = {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:uuid:h{fid:08d}-{rid:04d}>",
+                        "WARC-Target-URI": (
+                            f"https://crawl-{fid % 11}.org/{fid}/{rid}"
+                        ),
+                    }
+                    records.append((headers, html.encode("utf-8")))
+                rows.append((fid, build_warc_gz(records)))
+            yield pd.DataFrame(rows, columns=["file_id", "payload"])
+
+    return spark.range(n).mapInPandas(
+        _gen, schema="file_id long, payload binary"
+    )
+
+
+def warc_html_pages(files: DataFrame) -> DataFrame:
+    """(file_id, record_idx, target_uri, html): parse the WARC
+    framing and decode response bodies as UTF-8 — the handoff from
+    container parsing to the JVM-side HTML/URL expression chain.
+    Non-response records are skipped; strict framing as everywhere."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from json_ld_spark.sources.warc import parse_warc_gz
+
+        for pdf in it:
+            rows = []
+            for fid, payload in zip(pdf["file_id"], pdf["payload"]):
+                fid = int(fid)
+                for rid, (headers, body) in enumerate(
+                    parse_warc_gz(bytes(payload))
+                ):
+                    if headers.get("WARC-Type") != "response":
+                        continue
+                    rows.append((
+                        fid,
+                        rid,
+                        headers.get("WARC-Target-URI", ""),
+                        body.decode("utf-8"),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["file_id", "record_idx", "target_uri", "html"],
+            )
+
+    return files.mapInPandas(
+        _batches,
+        schema=(
+            "file_id long, record_idx int, target_uri string, html string"
+        ),
+    )
+
+
 def warc_record_stats(files: DataFrame) -> DataFrame:
     """Parse every WARC file and emit one row per record with header
     fields and exact integer body statistics. Strict: a payload that

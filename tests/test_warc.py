@@ -90,3 +90,17 @@ def test_warc_record_stats_distributed(spark):
             assert r["sum_bytes"] == sum(
                 (fid * 7 + rid * 13 + j * 3) % 256 for j in range(length)
             )
+
+
+def test_warc_html_pages_decodes_html_bodies(spark):
+    from json_ld_spark.operators.warc_ops import (
+        synthesize_warc_html,
+        warc_html_pages,
+    )
+
+    pages = warc_html_pages(synthesize_warc_html(spark, 6)).collect()
+    assert len(pages) == sum(2 + fid % 3 for fid in range(6))
+    for p in pages:
+        assert p["html"].startswith("<html><head><title>Page ")
+        assert f"Page {p['file_id']}-{p['record_idx']}" in p["html"]
+        assert p["target_uri"].startswith("https://crawl-")
