@@ -2831,6 +2831,35 @@ def _case_mod(expr, values: "list[str]"):
     return out
 
 
+def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply under ONE gate: the 8 corpus-trained merges
+    (q_bpe_train_merges) are applied back to every document and the
+    resulting token counts gated. The oracle replays the training
+    loop AND the per-document merge application (8 chained replaces,
+    each cross-joined with its round's learned merge), so the two
+    halves of the tokenizer lifecycle must agree end-to-end — a
+    merge learned in the wrong order changes every document's token
+    count downstream."""
+    from json_ld_spark.operators.bpe_train import (
+        encode_with_merges,
+        train_bpe_distributed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in train_bpe_distributed(
+            docs, n_merges=_BPE_TRAIN_MERGES, top_v=_BPE_TRAIN_TOPV
+        ).collect()
+    ]  # K recipe rows — the trained artifact, like the IVF codebook
+    toks = encode_with_merges(F.coalesce(F.col("text"), F.lit("")), merges)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 1)).alias("n_merged"),
+    )
+
+
 def q_crawl_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END crawl pipeline under ONE gate: .warc.gz files with
     HTML response bodies → gzip-member + ISO 28500 framing parse →
@@ -2949,6 +2978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": q_kg_negative_samples,
         "entity_kcore": q_entity_kcore,
         "crawl_domain_stats": q_crawl_domain_stats,
+        "bpe_train_encode": q_bpe_train_encode,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -3601,6 +3631,41 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_train_merges"] = (
         "WITH " + ",".join(_bt_parts) + "\n        "
         + " UNION ALL ".join(_bt_finals)
+    )
+    # train-then-apply: the SAME training CTEs, then each document's
+    # wrapped text pushed through the 8 learned merges (one chained
+    # replace per round, cross-joined with that round's m{k})
+    _bt_doc_parts = [f"""
+        d0 AS (
+          SELECT doc_id,
+                 CASE WHEN length(norm) = 0 THEN ''
+                      ELSE '⟨' || array_to_string(
+                        string_split(norm, ''), '⟩⟨') || '⟩'
+                 END AS seq
+          FROM (SELECT doc_id, {_bt_norm} AS norm FROM documents)
+        )"""]
+    for _k in range(1, _BPE_TRAIN_MERGES + 1):
+        _bt_doc_parts.append(f"""
+        d{_k} AS (
+          SELECT doc_id,
+                 replace(seq, '⟨' || a || '⟩⟨' || b
+                   || '⟩', '⟨' || a || b || '⟩') AS seq
+          FROM d{_k - 1} CROSS JOIN m{_k}
+        )""")
+    d["bpe_train_encode"] = (
+        "WITH " + ",".join(_bt_parts + _bt_doc_parts) + f"""
+        , toked AS (
+          SELECT doc_id,
+                 CASE WHEN seq = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split(seq[2:-2], '⟩⟨')
+                 END AS toks
+          FROM d{_BPE_TRAIN_MERGES}
+        )
+        SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_filter(toks, t -> length(t) > 1)) AS INT)
+                 AS n_merged
+        FROM toked
+        """
     )
     d["deterministic_sample"] = f"""
         SELECT doc_id FROM documents

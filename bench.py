@@ -176,6 +176,7 @@ def main() -> None:
         "kg_negative_samples",
         "entity_kcore",
         "crawl_domain_stats",
+        "bpe_train_encode",
         "events_funnel",
         "events_retention",
         "event_transitions",

@@ -48,7 +48,7 @@ for K in the hundreds, cut lineage every few rounds
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from json_ld_spark.functions.bpe import _L, _R, _normalized
@@ -132,3 +132,30 @@ def train_bpe_distributed(
     return spark.createDataFrame(
         merges, "merge_idx int, lhs string, rhs string, pair_weight bigint"
     )
+
+
+def encode_with_merges(
+    text_col: Column, merges: "list[tuple[str, str]]"
+) -> Column:
+    """array<string> of tokens from applying ``merges`` (in training
+    order) to the delimiter-wrapped normalized text — the parametric
+    twin of functions/bpe.bpe_tokens, for CORPUS-TRAINED merge tables
+    instead of the frozen one. Word-frequency-trained merges never
+    contain the space symbol, so the delimited replace can never
+    match across a word boundary (the '⟨ ⟩' space token breaks the
+    pattern) — applying them to the full wrapped text equals applying
+    them per word."""
+    s = _normalized(text_col)
+    wrapped = F.concat(
+        F.lit(_L), F.array_join(F.split(s, ""), f"{_R}{_L}"), F.lit(_R)
+    )
+    for a, b in merges:
+        wrapped = F.replace(
+            wrapped,
+            F.lit(f"{_L}{a}{_R}{_L}{b}{_R}"),
+            F.lit(f"{_L}{a}{b}{_R}"),
+        )
+    inner = wrapped.substr(F.lit(2), F.length(wrapped) - 2)
+    return F.when(
+        F.length(s) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(inner, f"{_R}{_L}"))
