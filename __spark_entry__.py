@@ -2831,6 +2831,110 @@ def _case_mod(expr, values: "list[str]"):
     return out
 
 
+def _robots_txt_for(host: str) -> str:
+    """Deterministic robots.txt per crawl host — real files with the
+    parser traps: a specific-UA group that must be IGNORED for '*',
+    consecutive User-agent lines forming one group, an empty
+    Disallow (no restriction), comments, and unknown directives."""
+    if host.startswith("example-"):
+        k = host.split("-")[1].split(".")[0]
+        return (
+            "# synthetic robots\n"
+            "User-agent: EvilBot\n"
+            "Disallow: /\n"
+            "\n"
+            "User-agent: *\n"
+            f"Disallow: /A/{k}\n"
+            f"Allow: /A/{k}/deep\n"
+            "Disallow:\n"
+            "Crawl-delay: 2\n"
+        )
+    return (
+        "User-agent: *\n"
+        "User-agent: AnotherBot\n"
+        "Disallow: /x/1\n"
+        "Sitemap: https://news.co.uk/sitemap.xml\n"
+    )
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness filter (sources/robots.py) over the
+    crawl pipeline's canonical URLs: real robots files are PARSED
+    distributed (group selection, empty-Disallow, unknown
+    directives), then matching runs JVM-side — broadcast rule join +
+    startswith + struct-max longest-match with Allow winning ties.
+    The oracle composes the expected rule table and URL set from
+    closed forms and replays the longest-match ordering, so a group
+    mis-selected (EvilBot's Disallow / leaking into '*'), a dropped
+    empty-Disallow, or a tie broken the wrong way fails the hash."""
+    from json_ld_spark.functions.html_text import html_links
+    from json_ld_spark.functions.urls import canonicalize_url, url_parts
+    from json_ld_spark.operators.warc_ops import (
+        synthesize_warc_html,
+        warc_html_pages,
+    )
+
+    pages = warc_html_pages(synthesize_warc_html(spark, _N_MEDIA))
+    link = F.explode(html_links(F.col("html"))).alias("link")
+    canon = canonicalize_url(F.col("link"))
+    urls = (
+        pages.select(link)
+        .select(
+            canon.alias("canon"),
+            url_parts(F.col("link"))["host"].alias("host"),
+        )
+        .select(
+            "canon", "host", url_parts(F.col("canon"))["path"].alias("path")
+        )
+        .distinct()
+    )
+    hosts = [r["host"] for r in urls.select("host").distinct().collect()]
+
+    def _parse(it):
+        import pandas as pd
+
+        from json_ld_spark.sources.robots import parse_robots
+
+        for pdf in it:
+            rows = []
+            for host, txt in zip(pdf["host"], pdf["robots_txt"]):
+                for allow, prefix in parse_robots(txt, "*"):
+                    rows.append((host, allow, prefix))
+            yield pd.DataFrame(rows, columns=["host", "allow", "prefix"])
+
+    robots = spark.createDataFrame(
+        [(h, _robots_txt_for(h)) for h in sorted(hosts)],
+        "host string, robots_txt string",
+    )
+    rules = robots.mapInPandas(
+        _parse, schema="host string, allow boolean, prefix string"
+    )
+    j = urls.join(
+        F.broadcast(rules),
+        (urls["host"] == rules["host"])
+        & F.expr("startswith(path, prefix)"),
+        "left",
+    ).select(
+        urls["host"].alias("host"),
+        "canon",
+        F.when(
+            rules["prefix"].isNotNull(),
+            F.struct(
+                F.length(rules["prefix"]).alias("l"),
+                rules["allow"].alias("allow"),
+                rules["prefix"].alias("prefix"),
+            ),
+        ).alias("cand"),
+    )
+    best = j.groupBy("host", "canon").agg(F.max("cand").alias("best"))
+    return best.select(
+        "host",
+        "canon",
+        F.coalesce(F.col("best.allow"), F.lit(True)).alias("allowed"),
+        F.col("best.prefix").alias("matched_prefix"),
+    )
+
+
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-apply under ONE gate: the 8 corpus-trained merges
     (q_bpe_train_merges) are applied back to every document and the
@@ -2979,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_kcore": q_entity_kcore,
         "crawl_domain_stats": q_crawl_domain_stats,
         "bpe_train_encode": q_bpe_train_encode,
+        "robots_filter": q_robots_filter,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -4660,6 +4765,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT canon) AS BIGINT) AS n_urls,
                min(canon) AS min_canon
         FROM l GROUP BY 1
+        """
+    # robots-filter oracle: expected rule table + URL set composed
+    # from closed forms; longest-match (len desc, allow desc, prefix
+    # desc — the struct-max order) replayed with a window
+    d["robots_filter"] = f"""
+        WITH f AS (SELECT range AS fid FROM range({_N_MEDIA})),
+        r AS (
+          SELECT fid, unnest(generate_series(0, 2 + fid % 3 - 1)) AS rid
+          FROM f
+        ),
+        urls AS (
+          SELECT DISTINCT
+                 'example-' || (rid % 4) || '.com' AS host,
+                 'http://example-' || (rid % 4) || '.com/A/'
+                   || (fid % 6) || '?a=1&b=2' AS canon,
+                 '/A/' || (fid % 6) AS path
+          FROM r
+          UNION
+          SELECT DISTINCT 'news.co.uk',
+                 'https://news.co.uk/x/' || (fid % 3),
+                 '/x/' || (fid % 3)
+          FROM r
+        ),
+        rules AS (
+          SELECT 'example-' || k || '.com' AS host, FALSE AS allow,
+                 '/A/' || k AS prefix
+          FROM (SELECT unnest(generate_series(0, 3)) AS k)
+          UNION ALL
+          SELECT 'example-' || k || '.com', TRUE, '/A/' || k || '/deep'
+          FROM (SELECT unnest(generate_series(0, 3)) AS k)
+          UNION ALL
+          SELECT 'news.co.uk', FALSE, '/x/1'
+        ),
+        m AS (
+          SELECT u.host, u.canon, ru.allow, ru.prefix,
+                 row_number() OVER (
+                   PARTITION BY u.host, u.canon
+                   ORDER BY (ru.prefix IS NOT NULL) DESC,
+                            length(ru.prefix) DESC,
+                            ru.allow DESC, ru.prefix DESC
+                 ) AS rn
+          FROM urls u
+          LEFT JOIN rules ru
+            ON ru.host = u.host AND starts_with(u.path, ru.prefix)
+        )
+        SELECT host, canon,
+               coalesce(allow, TRUE) AS allowed,
+               prefix AS matched_prefix
+        FROM m WHERE rn = 1
         """
     # k-core oracle: every peel round replayed CTE-for-CTE — degree
     # over surviving edges, HAVING >= k, both-endpoint edge filter

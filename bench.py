@@ -177,6 +177,7 @@ def main() -> None:
         "entity_kcore",
         "crawl_domain_stats",
         "bpe_train_encode",
+        "robots_filter",
         "events_funnel",
         "events_retention",
         "event_transitions",

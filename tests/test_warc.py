@@ -104,3 +104,34 @@ def test_warc_html_pages_decodes_html_bodies(spark):
         assert p["html"].startswith("<html><head><title>Page ")
         assert f"Page {p['file_id']}-{p['record_idx']}" in p["html"]
         assert p["target_uri"].startswith("https://crawl-")
+
+
+def test_robots_parser_and_matching():
+    from json_ld_spark.sources.robots import parse_robots, robots_allowed
+
+    txt = (
+        "# c\n"
+        "User-agent: SpecBot\n"
+        "Disallow: /only-specbot\n"
+        "\n"
+        "User-agent: *\n"
+        "User-agent: OtherBot\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Disallow:\n"          # empty: no restriction, not 'block all'
+        "Crawl-delay: 5\n"     # unknown directive ignored
+        "Sitemap: https://x/s.xml\n"
+    )
+    star = parse_robots(txt, "*")
+    assert star == [(False, "/private"), (True, "/private/ok")]
+    # specific UA group wins and * group is ignored for it
+    assert parse_robots(txt, "SpecBot") == [(False, "/only-specbot")]
+    # matching: longest match wins; no match -> allowed
+    assert robots_allowed("/public", star) is True
+    assert robots_allowed("/private/x", star) is False
+    assert robots_allowed("/private/ok/deep", star) is True
+    # tie on length: Allow beats Disallow
+    tie = [(False, "/a"), (True, "/a")]
+    assert robots_allowed("/a/b", tie) is True
+    # consecutive-UA group applies to both agents
+    assert parse_robots(txt, "OtherBot") == star
