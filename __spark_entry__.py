@@ -2935,6 +2935,22 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QC_BUCKETS = 4096
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bag-of-words quality-classifier inference
+    (operators/textstats.quality_classifier_scores): md5-family word
+    hashing into a frozen closed-form weight table, exact integer
+    weight sums (the pass/fail decision is a sign test on a BIGINT —
+    engine-drift-proof), one rounded division for the logit. The
+    oracle replays hash → slot → weight → sum word-for-word."""
+    from json_ld_spark.operators.textstats import quality_classifier_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_classifier_scores(docs, n_buckets=_QC_BUCKETS)
+
+
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-apply under ONE gate: the 8 corpus-trained merges
     (q_bpe_train_merges) are applied back to every document and the
@@ -3084,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_domain_stats": q_crawl_domain_stats,
         "bpe_train_encode": q_bpe_train_encode,
         "robots_filter": q_robots_filter,
+        "quality_classifier": q_quality_classifier,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -4765,6 +4782,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT canon) AS BIGINT) AS n_urls,
                min(canon) AS min_canon
         FROM l GROUP BY 1
+        """
+    # quality-classifier oracle: hash → slot → closed-form weight →
+    # exact integer sum replayed word-for-word; one rounded division
+    _qc_h = _MD5H60.format(x="w")
+    d["quality_classifier"] = f"""
+        WITH s AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '),
+                   w -> w <> '') AS words
+          FROM documents
+        ),
+        t AS (
+          SELECT doc_id, len(words) AS n_words,
+                 CAST(coalesce(list_sum(list_transform(words,
+                   w -> ({_qc_h} % {_QC_BUCKETS}) * 2654435761
+                        % 2001 - 1000)), 0) AS BIGINT) AS w_sum
+          FROM s
+        )
+        SELECT doc_id, CAST(n_words AS INT) AS n_words, w_sum,
+               round(w_sum / (1000.0 * greatest(n_words, 1)), 6)
+                 AS logit,
+               w_sum > 0 AS quality_pass
+        FROM t
         """
     # robots-filter oracle: expected rule table + URL set composed
     # from closed forms; longest-match (len desc, allow desc, prefix

@@ -178,6 +178,7 @@ def main() -> None:
         "crawl_domain_stats",
         "bpe_train_encode",
         "robots_filter",
+        "quality_classifier",
         "events_funnel",
         "events_retention",
         "event_transitions",

@@ -515,3 +515,55 @@ def bm25_scores(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).filter(F.col("rank") <= k)
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style hashed-bag-of-words quality classifier
+    INFERENCE (Joulin et al. 2017 shape — public knowledge): each
+    word hashes to one of ``n_buckets`` weight slots, the document
+    logit is the mean slot weight, and the pass/fail decision is the
+    sign of the EXACT integer weight sum — so the decision can never
+    drift across engines, and the only float is one final
+    IEEE-deterministic division (rounded 6 dp).
+
+    The frozen "model" is a closed-form weight table
+    ``w(b) = (b·2654435761) mod 2001 − 1000`` (pseudo-random ±1000
+    per slot, zero I/O — a production model swaps in a real weight
+    array; the plan shape is identical). Hashing uses the
+    cross-engine md5 family so the whole inference is SQL-replayable.
+
+    All JVM: split → transform(hash→weight) → aggregate — per-row
+    expressions, no shuffle, no Python. At 100 TB this is the
+    cheapest possible classifier pass."""
+    from json_ld_spark.operators.dedup import md5_hash60
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), "\\s+", " "
+        )
+    )
+    staged = docs.select("doc_id", norm.alias("_norm"))
+    words = F.filter(F.split(F.col("_norm"), " "), lambda w: w != "")
+    wts = F.transform(
+        words,
+        lambda w: (
+            F.pmod(md5_hash60(w), n_buckets) * 2654435761
+        ) % 2001 - 1000,
+    )
+    w_sum = F.aggregate(
+        wts, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n_words = F.size(words)
+    return staged.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        w_sum.alias("w_sum"),
+        F.round(
+            w_sum / (1000.0 * F.greatest(n_words, F.lit(1))), 6
+        ).alias("logit"),
+        (w_sum > 0).alias("quality_pass"),
+    )
