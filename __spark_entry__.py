@@ -1786,15 +1786,12 @@ def _simhash_oracle_sql(shingle: int = 4, n_bits: int = 60,
     """
 
 
-def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
-                        shingle: int = 3, max_bucket: int = 64,
-                        threshold: float = 0.3) -> str:
-    """DuckDB twin of q_minhash_components: md5-base shingle hashes →
-    affine minhash signatures → md5-string band buckets (64-cap skew
-    guard) → candidate self-join → exact-Jaccard verify → connected
-    components via recursive-CTE transitive closure (components are
-    near-dup clusters: small, so closure is cheap; Spark uses
-    large-star/small-star for the same result at corpus scale)."""
+def _minhash_band_cte(num_hashes: int = 32, bands: int = 8,
+                      shingle: int = 3) -> str:
+    """Shared DuckDB CTE prefix: md5-base shingle hashes → affine
+    minhash signatures → md5-string band buckets (tables d, sh, sig,
+    band) — consumed by both the batch components oracle and the
+    streaming dedup oracle."""
     from json_ld_spark.operators.canonicalize import minhash_affine
 
     A, B, P = minhash_affine(num_hashes)
@@ -1804,21 +1801,15 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
         f"list_min(list_transform(hs, h -> ({A[i]} * (h % {P}) + {B[i]}) % {P}))"
         for i in range(num_hashes)
     )
-    band_parts = ", ".join(
+    band_parts = (
         "md5(concat_ws('-', CAST(t.b AS VARCHAR), "
         + ", ".join(
             f"CAST(sg[t.b * {rows_per_band} + {j + 1}] AS VARCHAR)"
             for j in range(rows_per_band)
         )
         + "))"
-        for _ in range(1)
     )
-    jac = (
-        "len(list_intersect(sa.hs, sb.hs)) * 1.0 / "
-        "(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))"
-    )
-    return f"""
-    WITH RECURSIVE d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+    return f"""d AS (SELECT doc_id, lower(text) AS lt FROM documents),
     sh AS (
       SELECT doc_id, list_distinct(list_transform(
         generate_series(1, greatest(length(lt) - {shingle - 1}, 1)),
@@ -1829,7 +1820,24 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
     band AS (
       SELECT doc_id, t.b AS band_i, {band_parts} AS bucket
       FROM sig, range(0, {bands}) t(b)
-    ),
+    )"""
+
+
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
+                        shingle: int = 3, max_bucket: int = 64,
+                        threshold: float = 0.3) -> str:
+    """DuckDB twin of q_minhash_components: md5-base shingle hashes →
+    affine minhash signatures → md5-string band buckets (64-cap skew
+    guard) → candidate self-join → exact-Jaccard verify → connected
+    components via recursive-CTE transitive closure (components are
+    near-dup clusters: small, so closure is cheap; Spark uses
+    large-star/small-star for the same result at corpus scale)."""
+    jac = (
+        "len(list_intersect(sa.hs, sb.hs)) * 1.0 / "
+        "(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))"
+    )
+    return f"""
+    WITH RECURSIVE {_minhash_band_cte(num_hashes, bands, shingle)},
     capped AS (
       SELECT doc_id, band_i, bucket FROM (
         SELECT doc_id, band_i, bucket,
@@ -2624,6 +2632,85 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup detection under the gate: documents are
+    replayed as THREE id-ordered micro-batches; minhash signatures
+    and band buckets are computed JVM-side in the stream's select
+    chain (the md5-family primitives the batch path uses), and the
+    stateful LSH index (one representative per bucket, in state)
+    flags each arriving doc against the earliest occupant — ACROSS
+    batch boundaries. The oracle recomputes signatures, buckets, and
+    the earliest-earlier-occupant relation set-theoretically, so a
+    lost bucket state row, a wrong representative update, or a band
+    computed differently in the stream path fails the hash."""
+    from json_ld_spark.operators.canonicalize import (
+        char_shingles,
+        minhash_affine,
+        minhash_signature,
+    )
+    from json_ld_spark.operators.dedup import md5_hash60
+    from json_ld_spark.streaming.stream_pipeline import stream_minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.agg(F.max("doc_id")).collect()[0][0]  # 1-row parameter
+    c1, c2 = n // 3, (2 * n) // 3
+    f0 = docs.filter(F.col("doc_id") <= c1)
+    f1 = docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2))
+    f2 = docs.filter(F.col("doc_id") > c2)
+
+    base = _fresh_stream_dir("kgmhdedup_")
+    in_dir = _stage_ordered_batches(base, (f0, f1, f2))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    num_hashes, bands = 32, 8
+    rows_per_band = num_hashes // bands
+    affine = minhash_affine(num_hashes)
+    s1 = stream.select("doc_id", F.lower(F.col("text")).alias("_lt"))
+    s2 = s1.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                char_shingles(F.col("_lt"), 3, pre_lowered=True),
+                md5_hash60,
+            )
+        ).alias("_sh"),
+    )
+    s3 = s2.select(
+        "doc_id",
+        minhash_signature(F.col("_sh"), num_hashes, affine=affine).alias(
+            "_sig"
+        ),
+    )
+
+    def band_bucket(i: int):
+        return F.md5(F.concat_ws(
+            "-",
+            F.lit(str(i)),
+            *[
+                F.element_at("_sig", i * rows_per_band + j + 1).cast("string")
+                for j in range(rows_per_band)
+            ],
+        ))
+
+    banded = s3.select(
+        "doc_id",
+        F.explode(
+            F.array(*[band_bucket(i) for i in range(bands)])
+        ).alias("bucket"),
+    ).select("bucket", "doc_id")
+    out_dir = _run_available_now(stream_minhash_dedup(banded), base)
+    hits = spark.read.parquet(out_dir)
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_hit_buckets"),
+        F.min("rep").alias("dup_of"),
+    )
+
+
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF (LZW) decode under the hash gate: every payload is a
     genuine GIF89a stream — palette, sub-blocks, variable-width LZW
@@ -3101,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_encode": q_bpe_train_encode,
         "robots_filter": q_robots_filter,
         "quality_classifier": q_quality_classifier,
+        "stream_minhash_dedup": q_stream_minhash_dedup,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -4782,6 +4870,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT canon) AS BIGINT) AS n_urls,
                min(canon) AS min_canon
         FROM l GROUP BY 1
+        """
+    # streaming minhash dedup oracle: signatures + buckets from the
+    # shared CTE prefix; "flagged against the earliest earlier
+    # occupant" is a set-theoretic min over smaller-id bucket-mates
+    d["stream_minhash_dedup"] = f"""
+        WITH {_minhash_band_cte()},
+        hits AS (
+          SELECT b1.doc_id, b1.bucket, min(b2.doc_id) AS rep
+          FROM band b1 JOIN band b2
+            ON b2.bucket = b1.bucket AND b2.doc_id < b1.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_buckets,
+               CAST(min(rep) AS BIGINT) AS dup_of
+        FROM hits GROUP BY 1
         """
     # quality-classifier oracle: hash → slot → closed-form weight →
     # exact integer sum replayed word-for-word; one rounded division

@@ -195,7 +195,8 @@ def main() -> None:
     stream_queries = ["stream_triples", "stream_turn_chain",
                       "stream_windowed_counts", "stream_turn_rate",
                       "stream_dedup", "stream_hll_distinct",
-                      "stream_sessionize"]
+                      "stream_sessionize",
+                      "stream_minhash_dedup"]
     qmap = entry.queries()
     for name in bench_queries:
         dt = float("inf")

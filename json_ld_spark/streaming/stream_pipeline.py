@@ -395,3 +395,54 @@ def stream_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_minhash_dedup(banded_stream: DataFrame) -> DataFrame:
+    """Streaming NEAR-duplicate detection (applyInPandasWithState):
+    the incremental-LSH-index pattern — state is one representative
+    doc id per minhash band bucket, so an arriving document that
+    lands in any occupied bucket is flagged against the earliest
+    occupant, ACROSS micro-batches.
+
+    Input: (bucket string, doc_id long) — signatures and band-bucket
+    keys are computed JVM-side in the stream's select chain (the
+    same canonicalize.py primitives as the batch path); only the
+    two-column collision stream reaches Python. Output: one row per
+    (arriving doc, occupied bucket) hit: (bucket, doc_id, rep).
+
+    Skew story: unlike the batch per-bucket SELF-join (which needs
+    the 64-row hot-bucket cap), the streaming index emits at most
+    ONE row per arriving doc per band — a hot bucket costs O(n), not
+    O(n²), so no cap is needed and the oracle replays the bucket
+    table uncapped. State is O(distinct buckets) with a single long
+    each — the minimal sketch of the corpus seen so far.
+
+    Requires id-ordered arrival for the "earliest occupant" contract
+    (the gate stages id-ordered batches; a production pipeline keys
+    representatives by arrival and gets first-seen semantics)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        (bucket,) = key
+        rep = state.get[0] if state.exists else None
+        ids = sorted(
+            int(x) for pdf in pdf_iter for x in pdf["doc_id"]
+        )
+        rows = []
+        for did in ids:
+            if rep is not None and rep < did:
+                rows.append((bucket, did, rep))
+            if rep is None or did < rep:
+                rep = did
+        state.update((rep,))
+        yield pd.DataFrame(rows, columns=["bucket", "doc_id", "rep"])
+
+    return banded_stream.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket string, doc_id long, rep bigint",
+        stateStructType="rep long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
