@@ -259,3 +259,35 @@ def test_bm25_no_forced_broadcast_of_doclen(spark):
     # the tiny dfx side broadcast appears; beyond that we only pin
     # that the plan builds (AQE decides the dl join from real sizes)
     assert "Broadcast" in plan
+
+
+def test_quality_classifier_is_jvm_only_no_shuffle(spark):
+    """Per-row inference: no Exchange, no Python eval in the plan."""
+    from json_ld_spark.operators.textstats import quality_classifier_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = explain_str(quality_classifier_scores(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_negative_samples_broadcasts_sizes_not_vocab(spark):
+    """The B-row bucket-size table is broadcast; the vocabulary pick
+    join stays an equi-join on (bucket, local_rank)."""
+    from json_ld_spark.operators.kg_train import negative_samples
+
+    pos = spark.createDataFrame(
+        [(f"h{i}", f"e{i % 5}") for i in range(30)],
+        "head string, tail string",
+    )
+    plan = explain_str(negative_samples(pos, k=2, n_buckets=4))
+    assert "Broadcast" in plan
+
+
+def test_robots_rules_join_is_broadcast(spark):
+    """robots rule tables are ~KB per host: the URL-filter join must
+    broadcast the rule side, never shuffle the URL side for it."""
+    import __spark_entry__ as E
+
+    plan = explain_str(E.queries()["robots_filter"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
