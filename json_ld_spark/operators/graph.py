@@ -393,7 +393,11 @@ def adamic_adar(
         .dropDuplicates()
     )
     deg = sym.groupBy("s").agg(F.count("*").alias("d"))
-    mid = sym.join(deg, "s")
+    # d >= 2: a degree-1 node can never be a wedge center, and keeping
+    # it would let ANSI mode raise DIVIDE_BY_ZERO on 1/ln(1) whenever
+    # the planner materializes the contribution BEFORE the wedge join
+    # (plan-shape dependent — e.g. while building a broadcast side)
+    mid = sym.join(deg, "s").filter(F.col("d") >= 2)
     if max_degree is not None:
         mid = mid.filter(F.col("d") <= max_degree)
     contrib = F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), contrib_dp).cast(

@@ -291,3 +291,37 @@ def test_robots_rules_join_is_broadcast(spark):
 
     plan = explain_str(E.queries()["robots_filter"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """bucketBy both sides on the join key with equal bucket counts:
+    the recurring-join shuffle is paid once at write time; the join
+    itself must plan with ZERO Exchange."""
+    from json_ld_spark.plans.bucketing import bucketed_join, write_bucketed
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # force sort-merge joins: at test sizes the planner would pick a
+    # broadcast join and hide the property under test (a 100 TB
+    # triple-table join is never broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            docs.select("doc_id", "source"), "bkt_docs_t", "doc_id", 8
+        )
+        write_bucketed(
+            docs.select("doc_id", "n_chars"), "bkt_len_t", "doc_id", 8
+        )
+        plan = explain_str(
+            bucketed_join(spark, "bkt_docs_t", "bkt_len_t", "doc_id")
+        )
+        assert "hashpartitioning" not in plan, plan
+        # and the un-bucketed twin DOES shuffle — the assertion above
+        # is meaningful, not vacuous
+        a = docs.select("doc_id", "source")
+        b = docs.select("doc_id", "n_chars")
+        assert "hashpartitioning" in explain_str(a.join(b, "doc_id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_docs_t")
+        spark.sql("DROP TABLE IF EXISTS bkt_len_t")
