@@ -3022,6 +3022,24 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPJ_THRESHOLD = 0.8
+
+
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT (lossless) similarity join by prefix filtering
+    (operators/dedup.jaccard_prefix_join): every pair with word-set
+    Jaccard ≥ θ, guaranteed complete — the recall-1.0 complement to
+    the probabilistic minhash/simhash paths. Rare-first ordering
+    uses the (count, token) pair, never a global vocabulary rank, so
+    no single-task sort exists at any scale. The oracle replays the
+    count join, rare-first prefixes, candidate join, and the exact
+    verify."""
+    from json_ld_spark.operators.dedup import jaccard_prefix_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_prefix_join(docs, threshold=_PPJ_THRESHOLD)
+
+
 _QC_BUCKETS = 4096
 
 
@@ -3189,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "quality_classifier": q_quality_classifier,
         "stream_minhash_dedup": q_stream_minhash_dedup,
+        "jaccard_prefix_join": q_jaccard_prefix_join,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -4885,6 +4904,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_buckets,
                CAST(min(rep) AS BIGINT) AS dup_of
         FROM hits GROUP BY 1
+        """
+    # prefix-filter exact similarity join oracle: count join,
+    # rare-first (count, token) ordering via list(... ORDER BY),
+    # prefix slice, candidate join, exact Jaccard verify
+    d["jaccard_prefix_join"] = f"""
+        WITH tok AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(list_filter(
+                   string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                   w -> w <> ''))) AS w
+          FROM documents
+        ),
+        cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        bydoc AS (
+          SELECT id, list(tok.w ORDER BY c, tok.w) AS toks
+          FROM tok JOIN cnt USING (w) GROUP BY id
+        ),
+        pref AS (
+          SELECT id,
+                 unnest(toks[1 : len(toks)
+                   - CAST(ceil(len(toks) * {_PPJ_THRESHOLD}) AS INT)
+                   + 1]) AS p
+          FROM bydoc
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM pref a JOIN pref b ON a.p = b.p AND a.id < b.id
+        ),
+        scored AS (
+          SELECT id_a, id_b,
+                 round(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+                   (len(ta.toks) + len(tb.toks)
+                    - len(list_intersect(ta.toks, tb.toks))), 6)
+                   AS jaccard
+          FROM cand
+          JOIN bydoc ta ON ta.id = cand.id_a
+          JOIN bydoc tb ON tb.id = cand.id_b
+        )
+        SELECT * FROM scored WHERE jaccard >= {_PPJ_THRESHOLD}
         """
     # quality-classifier oracle: hash → slot → closed-form weight →
     # exact integer sum replayed word-for-word; one rounded division

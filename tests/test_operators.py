@@ -1626,3 +1626,39 @@ def test_k_core_peels_chain_keeps_cycle(spark):
         for r in k_core(df, k=2, n_rounds=1).collect()
     }
     assert {"c0", "c1", "c2", "c3"} <= partial and "p0" not in partial
+
+
+def test_jaccard_prefix_join_is_lossless(spark):
+    """Prefix filtering is a COMPLETE candidate generator: the join
+    must return exactly the brute-force all-pairs answer."""
+    from itertools import combinations
+
+    from json_ld_spark.operators.dedup import jaccard_prefix_join
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",      # near-dup
+        "the quick brown fox leaps over the lazy dog",    # near-dup
+        "completely different words entirely here now",
+        "completely different words entirely here today",  # near-dup
+        "unrelated solitary document",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    theta = 0.5
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_prefix_join(docs, threshold=theta).collect()
+    }
+    sets = {i: set(t.lower().split()) for i, t in enumerate(texts)}
+    expect = {}
+    for a, b in combinations(range(len(texts)), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        j = round(len(sa & sb) / len(sa | sb), 6)
+        if j >= theta:
+            expect[(a, b)] = j
+    assert got == expect, (got, expect)
