@@ -3022,6 +3022,16 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask computation (operators/corpus.loss_mask_spans):
+    character spans of assistant turns inside each conversation's
+    linearized text — exact integer cumulative-sum arithmetic the
+    oracle replays with the same window."""
+    from json_ld_spark.operators.corpus import loss_mask_spans
+
+    return loss_mask_spans(_derived(spark, sf_dir))
+
+
 _PPJ_THRESHOLD = 0.8
 
 
@@ -3208,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "stream_minhash_dedup": q_stream_minhash_dedup,
         "jaccard_prefix_join": q_jaccard_prefix_join,
+        "loss_mask_spans": q_loss_mask_spans,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -4540,6 +4551,27 @@ def oracle_sql() -> dict[str, str]:
           FROM tok
         )
         """
+    d["loss_mask_spans"] = f"""
+        WITH t AS ({_T_CTE}),
+        lens AS (
+          SELECT conv_id, turn_idx, role,
+                 length(trim(regexp_replace(lower(coalesce(text, '')),
+                                            '\\s+', ' ', 'g'))) AS n_chars
+          FROM t
+        ),
+        cums AS (
+          SELECT *, sum(n_chars + 1) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+          FROM lens
+        )
+        SELECT conv_id, turn_idx,
+               CAST(cum - n_chars - 1 AS BIGINT) AS start_char,
+               CAST(cum - 1 AS BIGINT) AS end_char,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM cums WHERE role = 'assistant'
+        """
     d["mention_kwic"] = f"""
         SELECT doc_id, CAST(g.entity_id AS INT) AS entity_id, g.surface,
                CAST(strpos(text, g.surface) AS INT) AS pos,
@@ -4963,8 +4995,7 @@ def oracle_sql() -> dict[str, str]:
           FROM s
         )
         SELECT doc_id, CAST(n_words AS INT) AS n_words, w_sum,
-               round(w_sum / (1000.0 * greatest(n_words, 1)), 6)
-                 AS logit,
+               (w_sum * 1000) // greatest(n_words, 1) AS logit_ppm,
                w_sum > 0 AS quality_pass
         FROM t
         """

@@ -179,6 +179,7 @@ def main() -> None:
         "bpe_train_encode",
         "robots_filter",
         "quality_classifier",
+        "loss_mask_spans",
         "events_funnel",
         "events_retention",
         "event_transitions",

@@ -543,3 +543,53 @@ def pack_turns(
         .cast("int")
         .alias("window_idx"),
     )
+
+
+def loss_mask_spans(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep_len: int = 1,
+    mask_role: str = "assistant",
+) -> DataFrame:
+    """(conv, turn_idx, start_char, end_char, n_chars): character
+    spans of ``mask_role`` turns inside the conversation's linearized
+    text (turns joined in order with a ``sep_len``-char separator) —
+    the SFT loss-mask computation: train on assistant tokens only,
+    mask everything else.
+
+    start = Σ over prior turns of (len(normalized text) + sep);
+    end = start + len — one cumulative-sum window per conversation
+    (the same partitioning pack_turns uses, so the two stages share
+    a shuffle when composed). Whitespace-normalized lengths so the
+    spans match what a whitespace-normalizing tokenizer consumes;
+    exact integer arithmetic throughout."""
+    from pyspark.sql import Window
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                         "\\s+", " ")
+    )
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = turns.select(
+        conv_col, idx_col, role_col, F.length(norm).alias("n_chars")
+    )
+    return (
+        staged.withColumn(
+            "_cum", F.sum(F.col("n_chars") + sep_len).over(w)
+        )
+        .filter(F.col(role_col) == mask_role)
+        .select(
+            conv_col,
+            idx_col,
+            (F.col("_cum") - F.col("n_chars") - sep_len).alias("start_char"),
+            (F.col("_cum") - F.lit(sep_len)).alias("end_char"),
+            "n_chars",
+        )
+    )

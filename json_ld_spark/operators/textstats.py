@@ -527,8 +527,14 @@ def quality_classifier_scores(
     word hashes to one of ``n_buckets`` weight slots, the document
     logit is the mean slot weight, and the pass/fail decision is the
     sign of the EXACT integer weight sum — so the decision can never
-    drift across engines, and the only float is one final
-    IEEE-deterministic division (rounded 6 dp).
+    drift across engines. The logit is emitted as an exact integer
+    too (``logit_ppm`` = mean weight in parts-per-million, truncating
+    integer division — Spark ``div`` and DuckDB ``//`` both truncate
+    toward zero): an earlier float version hit the Spark-vs-DuckDB
+    double-rounding boundary at sf1 (Spark rounds the SHORTEST
+    decimal repr of a double half-up; DuckDB rounds the binary value
+    — and w_sum/48000 has short exact decimals, so ties are common).
+    All-integer output removes that class of bug outright.
 
     The frozen "model" is a closed-form weight table
     ``w(b) = (b·2654435761) mod 2001 − 1000`` (pseudo-random ±1000
@@ -562,8 +568,8 @@ def quality_classifier_scores(
         "doc_id",
         n_words.alias("n_words"),
         w_sum.alias("w_sum"),
-        F.round(
-            w_sum / (1000.0 * F.greatest(n_words, F.lit(1))), 6
-        ).alias("logit"),
         (w_sum > 0).alias("quality_pass"),
-    )
+    ).withColumn(
+        "logit_ppm",
+        F.expr("(w_sum * 1000) div greatest(n_words, 1)"),
+    ).select("doc_id", "n_words", "w_sum", "logit_ppm", "quality_pass")
