@@ -353,6 +353,41 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet mining (operators/kg_train.
+    contrastive_pairs) over the LSH-blocked cosine pairs: positives
+    are planted near-dups (cosine ≥ 0.9), HARD negatives are
+    same-bucket collisions that are dissimilar (cosine ≤ 0.3) — the
+    confusable pairs a random negative sampler never finds. The
+    oracle replays bucketing, pair cosines, and both argmin
+    selections."""
+    from json_ld_spark.operators.dedup import embedding_neardup_pairs
+    from json_ld_spark.operators.kg_train import contrastive_pairs
+    from json_ld_spark.operators.similarity import sign_lsh_bucket_literal
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter(
+        F.col("vec_id") % _NEARDUP_PLANT_STRIDE == 0
+    ).select(
+        (F.col("vec_id") + _NEARDUP_PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 0.9 + 0.05, 4).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    bucketed = corpus.withColumn(
+        "_lshb",
+        sign_lsh_bucket_literal(
+            F.col("embedding").cast("array<double>"), _lsh_planes()
+        ),
+    )
+    pairs = embedding_neardup_pairs(
+        bucketed, block_col="_lshb", threshold=-1.0
+    )
+    return contrastive_pairs(pairs, pos_threshold=0.9, neg_threshold=0.3)
+
+
 def _query_vec_df(spark: SparkSession, sf_dir: str):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
@@ -3219,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_minhash_dedup": q_stream_minhash_dedup,
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "loss_mask_spans": q_loss_mask_spans,
+        "contrastive_pairs": q_contrastive_pairs,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -3567,6 +3603,50 @@ def oracle_sql() -> dict[str, str]:
               (sqrt(list_dot_product(a.v, a.v)) *
                sqrt(list_dot_product(b2.v, b2.v))), 4) >= 0.5
         """,
+        "contrastive_pairs": f"""
+        WITH planted AS (
+          SELECT vec_id + {_NEARDUP_PLANT_OFFSET} AS vec_id,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 0.9 + 0.05, 4) AS FLOAT))
+                   AS embedding
+          FROM embeddings WHERE vec_id % {_NEARDUP_PLANT_STRIDE} = 0
+        ),
+        corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id, embedding FROM planted
+        ),
+        e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM corpus
+        ),
+        b AS (SELECT vec_id, v, {{bkt}} AS bkt FROM e),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 round(list_dot_product(a.v, b2.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b2.v, b2.v))), 4) AS cosine
+          FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+        ),
+        sym AS (
+          SELECT id_a AS anchor, id_b AS other, cosine FROM pairs
+          UNION ALL
+          SELECT id_b AS anchor, id_a AS other, cosine FROM pairs
+        ),
+        pos AS (
+          SELECT anchor, min(other) AS pos_id,
+                 arg_min(cosine, other) AS pos_cosine
+          FROM sym WHERE cosine >= 0.9 GROUP BY 1
+        ),
+        neg AS (
+          SELECT anchor, min(other) AS neg_id,
+                 arg_min(cosine, other) AS neg_cosine
+          FROM sym WHERE cosine <= 0.3 GROUP BY 1
+        )
+        SELECT anchor AS anchor_id, pos_id, neg_id,
+               pos_cosine, neg_cosine
+        FROM pos JOIN neg USING (anchor)
+        """.replace("{bkt}", _lsh_bucket_sql()),
         "simhash_pairs": _simhash_oracle_sql(),
         "minhash_components": _minhash_oracle_sql(),
         "ann_lsh_topk": _lsh_oracle_sql(),

@@ -180,6 +180,7 @@ def main() -> None:
         "robots_filter",
         "quality_classifier",
         "loss_mask_spans",
+        "contrastive_pairs",
         "events_funnel",
         "events_retention",
         "event_transitions",

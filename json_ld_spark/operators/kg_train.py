@@ -80,3 +80,58 @@ def negative_samples(
         head.alias("head"), tail.alias("neg_tail")
     ).distinct()
     return picked.join(true_pairs, ["head", "neg_tail"], "left_anti")
+
+
+def contrastive_pairs(
+    scored_pairs: DataFrame,
+    pos_threshold: float = 0.9,
+    neg_threshold: float = 0.3,
+) -> DataFrame:
+    """(anchor_id, pos_id, neg_id, pos_cosine, neg_cosine): training
+    triplets for contrastive embedding fine-tuning, mined from
+    blocked similarity pairs (id_a, id_b, cosine).
+
+    Positives are near-dups (cosine ≥ pos); HARD negatives are pairs
+    that collided in the same LSH bucket yet are dissimilar
+    (cosine ≤ neg) — the mining trick that makes the negative set
+    informative: random negatives are trivially separable, bucket
+    collisions are exactly the confusable ones. Per anchor the
+    deterministic representative is the min partner id on each side;
+    anchors lacking either side are dropped (a triplet needs both).
+
+    One groupBy per side over the already-blocked pair stream — no
+    new joins over the corpus."""
+    sym = scored_pairs.select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("other"),
+        "cosine",
+    ).unionByName(
+        scored_pairs.select(
+            F.col("id_b").alias("anchor"),
+            F.col("id_a").alias("other"),
+            "cosine",
+        )
+    )
+    pos = (
+        sym.filter(F.col("cosine") >= pos_threshold)
+        .groupBy("anchor")
+        .agg(
+            F.min("other").alias("pos_id"),
+            F.min_by("cosine", "other").alias("pos_cosine"),
+        )
+    )
+    neg = (
+        sym.filter(F.col("cosine") <= neg_threshold)
+        .groupBy("anchor")
+        .agg(
+            F.min("other").alias("neg_id"),
+            F.min_by("cosine", "other").alias("neg_cosine"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor")
+        .select(
+            F.col("anchor").alias("anchor_id"),
+            "pos_id", "neg_id", "pos_cosine", "neg_cosine",
+        )
+    )
