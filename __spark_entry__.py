@@ -3057,6 +3057,54 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation-filter signals, one row per conversation:
+    turn counts per role, role-alternation violations (consecutive
+    same-role turns — the classic scraped-dialog defect), whether
+    the dialog ends with an assistant turn (a trainable final
+    target), and total normalized chars. One window + one groupBy,
+    both keyed on conv_id; exact integers throughout."""
+    from pyspark.sql import Window
+
+    t = _derived(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    norm_len = F.length(
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), "\\s+", " "
+            )
+        )
+    )
+    staged = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        norm_len.alias("n_chars"),
+    ).withColumn(
+        "_viol",
+        (F.col("role") == F.lag("role").over(w)).cast("int"),
+    ).withColumn(
+        "_last_role",
+        F.last("role").over(
+            Window.partitionBy("conv_id")
+            .orderBy("turn_idx")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    return staged.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("int")).alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("int")).alias(
+            "n_assistant"
+        ),
+        F.coalesce(F.sum("_viol"), F.lit(0)).alias("n_violations"),
+        F.max((F.col("_last_role") == "assistant").cast("int")).alias(
+            "ends_with_assistant"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def q_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT loss-mask computation (operators/corpus.loss_mask_spans):
     character spans of assistant turns inside each conversation's
@@ -3255,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "loss_mask_spans": q_loss_mask_spans,
         "contrastive_pairs": q_contrastive_pairs,
+        "conversation_quality": q_conversation_quality,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -4630,6 +4679,33 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM tok
         )
+        """
+    d["conversation_quality"] = f"""
+        WITH t AS ({_T_CTE}),
+        lens AS (
+          SELECT conv_id, turn_idx, role,
+                 length(trim(regexp_replace(lower(coalesce(text, '')),
+                                            '\\s+', ' ', 'g'))) AS n_chars,
+                 CASE WHEN role = lag(role) OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx)
+                      THEN 1 ELSE 0 END AS viol,
+                 last_value(role) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS last_role
+          FROM t
+        )
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_user,
+               CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_assistant,
+               CAST(sum(viol) AS BIGINT) AS n_violations,
+               CAST(max(CASE WHEN last_role = 'assistant' THEN 1 ELSE 0
+                        END) AS INT) AS ends_with_assistant,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM lens GROUP BY 1
         """
     d["loss_mask_spans"] = f"""
         WITH t AS ({_T_CTE}),

@@ -181,6 +181,7 @@ def main() -> None:
         "quality_classifier",
         "loss_mask_spans",
         "contrastive_pairs",
+        "conversation_quality",
         "events_funnel",
         "events_retention",
         "event_transitions",
