@@ -1662,3 +1662,29 @@ def test_jaccard_prefix_join_is_lossless(spark):
         if j >= theta:
             expect[(a, b)] = j
     assert got == expect, (got, expect)
+
+
+def test_loss_mask_spans_offsets(spark):
+    from json_ld_spark.operators.corpus import loss_mask_spans
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "Hello there"),       # 11 chars
+            ("c1", 1, "assistant", "Hi!  How's it"),  # norm: "hi! how's it" 12
+            ("c1", 2, "user", "fine"),               # 4
+            ("c1", 3, "assistant", "good"),          # 4
+            ("c2", 0, "assistant", "solo"),          # 4
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (
+            r["start_char"], r["end_char"], r["n_chars"]
+        )
+        for r in loss_mask_spans(turns).collect()
+    }
+    # c1 linearized: "hello there|hi! how's it|fine|good" (| = 1-char sep)
+    assert got[("c1", 1)] == (12, 24, 12)
+    assert got[("c1", 3)] == (30, 34, 4)
+    assert got[("c2", 0)] == (0, 4, 4)
+    assert ("c1", 0) not in got and ("c1", 2) not in got
