@@ -5209,14 +5209,18 @@ def oracle_sql() -> dict[str, str]:
     _kc_chain = ", ".join(
         f"('{s}', '{t}')" for s, t in _planted_chain_edges()
     )
+    # AS MATERIALIZED is load-bearing: u{k} references u{k-1} twice
+    # (directly and via n{k}), so DuckDB's default CTE inlining would
+    # re-derive the whole mention pipeline 2^rounds times — measured
+    # as a multi-GB spill at sf0.01 and an OOM at sf1
     _kc_rounds = []
     for _r in range(1, _KCORE_ROUNDS + 1):
         _kc_rounds.append(f"""
-        n{_r} AS (
+        n{_r} AS MATERIALIZED (
           SELECT u FROM u{_r - 1} GROUP BY u
           HAVING count(*) >= {_KCORE_K}
         ),
-        u{_r} AS (
+        u{_r} AS MATERIALIZED (
           SELECT uu.u, uu.v FROM u{_r - 1} uu
           JOIN n{_r} a ON uu.u = a.u
           JOIN n{_r} b ON uu.v = b.u
@@ -5230,7 +5234,7 @@ def oracle_sql() -> dict[str, str]:
           UNION
           SELECT * FROM (VALUES {_kc_chain}) AS c(src, dst)
         ),
-        u0 AS (
+        u0 AS MATERIALIZED (
           SELECT src AS u, dst AS v FROM e0
           UNION ALL
           SELECT dst AS u, src AS v FROM e0
