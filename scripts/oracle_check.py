@@ -48,6 +48,12 @@ def main() -> int:
     spark = build_session(app_name="oracle-check", cpus=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # per-process spill directory: two concurrent probes sharing the
+    # default ".tmp" corrupt each other's temp files (seen as an
+    # IOException mid-sweep on the k-core oracle's spill)
+    con.execute(
+        f"PRAGMA temp_directory='/tmp/duckdb_spill_{os.getpid()}'"
+    )
     for t in ["documents", "embeddings", "lineitem", "orders", "customer",
               "nation", "supplier", "events", "part", "region"]:
         p = f"{sf}/{t}.parquet"
