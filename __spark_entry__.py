@@ -2746,6 +2746,106 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_W = 256
+_CMS_D = 4
+
+
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch registers (operators/sketches.cms_registers)
+    over per-user event counts — the bounded-memory frequency
+    summary (d×w integers regardless of user cardinality). The
+    registers ARE the sketch; the oracle recomputes every one from
+    the md5-family coordinates."""
+    from json_ld_spark.operators.sketches import cms_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cms_registers(ev, "user_id", w=_CMS_W, d=_CMS_D)
+
+
+def q_cms_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates vs exact truth for a probe set
+    (every 17th user): est = min over d rows of the probed register,
+    exact = the true count — the oracle replays both, and the
+    sketch's one-sided guarantee (est ≥ exact) is visible in the
+    gated rows themselves."""
+    from json_ld_spark.operators.sketches import cms_estimate, cms_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    regs = cms_registers(ev, "user_id", w=_CMS_W, d=_CMS_D)
+    probes = (
+        ev.filter(F.col("user_id") % 17 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    est = cms_estimate(regs, probes, "user_id", w=_CMS_W, d=_CMS_D)
+    exact = (
+        ev.filter(F.col("user_id") % 17 == 0)
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count("*").alias("exact"))
+    )
+    return est.join(exact, "key").select(
+        F.col("key").alias("user_id"), "est", "exact"
+    )
+
+
+def q_stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min under the gate: events replayed as THREE
+    disjoint time-ordered micro-batches (no redelivery — SUM-merge
+    is not idempotent, and the docstring says so); per-row register
+    arrays live in state and sum across batches; the max-seq
+    snapshot, exploded back to (row_idx, bucket, count), must equal
+    the batch sketch — the same oracle as cms_user_counts."""
+    import datetime
+
+    from pyspark.sql.window import Window
+
+    from json_ld_spark.operators.sketches import cms_bucket
+    from json_ld_spark.streaming.stream_pipeline import stream_cms_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id"
+    )
+    tmax = ev.agg(F.max("ts")).collect()[0][0]  # 1-row parameter fetch
+    t1 = tmax - datetime.timedelta(hours=96)
+    t2 = tmax - datetime.timedelta(hours=48)
+    f0 = ev.filter(F.col("ts") < F.lit(t1))
+    f1 = ev.filter((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2)))
+    f2 = ev.filter(F.col("ts") >= F.lit(t2))
+
+    base = _fresh_stream_dir("kgcms_")
+    in_dir = _stage_ordered_batches(base, (f0, f1, f2))
+    schema = "event_id long, ts timestamp_ntz, user_id long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    coords = stream.filter(F.col("user_id").isNotNull()).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row_idx"),
+                    cms_bucket("user_id", r, _CMS_W).alias("bucket"),
+                )
+                for r in range(_CMS_D)
+            ])
+        ).alias("c")
+    ).select(F.col("c.row_idx").alias("row_idx"),
+             F.col("c.bucket").alias("bucket"))
+    out_dir = _run_available_now(
+        stream_cms_registers(coords, w=_CMS_W, d=_CMS_D), base
+    )
+    snaps = spark.read.parquet(out_dir)
+    w = Window.partitionBy("row_idx").orderBy(F.desc("seq"))
+    final = (
+        snaps.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("row_idx", F.posexplode("counts").alias("bucket", "count"))
+        .filter(F.col("count") > 0)
+    )
+    return final.select("row_idx", "bucket", "count")
+
+
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF (LZW) decode under the hash gate: every payload is a
     genuine GIF89a stream — palette, sub-blocks, variable-width LZW
@@ -3304,6 +3404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loss_mask_spans": q_loss_mask_spans,
         "contrastive_pairs": q_contrastive_pairs,
         "conversation_quality": q_conversation_quality,
+        "cms_user_counts": q_cms_user_counts,
+        "cms_user_estimate": q_cms_user_estimate,
+        "stream_cms_counts": q_stream_cms_counts,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -5241,6 +5344,44 @@ def oracle_sql() -> dict[str, str]:
         ),{",".join(_kc_rounds)}
         SELECT u AS entity, CAST(count(*) AS BIGINT) AS degree
         FROM u{_KCORE_ROUNDS} GROUP BY 1
+        """
+    # count-min oracles: every register recomputed from the md5
+    # coordinates; the estimate query replays min-over-rows + truth
+    d["cms_user_counts"] = """
+        SELECT CAST(r.r AS INT) AS row_idx,
+               CAST(CAST(concat('0x', substring(md5(
+                 CAST(r.r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+               ), 1, 15)) AS BIGINT) % 256 AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS count
+        FROM events CROSS JOIN range(0, 4) r(r)
+        WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+        """
+    d["stream_cms_counts"] = d["cms_user_counts"]
+    _cms_regs_sql = d["cms_user_counts"]
+    d["cms_user_estimate"] = f"""
+        WITH regs AS ({_cms_regs_sql}),
+        probes AS (
+          SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 0
+        ),
+        coords AS (
+          SELECT user_id,
+                 CAST(r.r AS INT) AS row_idx,
+                 CAST(CAST(concat('0x', substring(md5(
+                   CAST(r.r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+                 ), 1, 15)) AS BIGINT) % 256 AS INT) AS bucket
+          FROM probes CROSS JOIN range(0, 4) r(r)
+        ),
+        est AS (
+          SELECT user_id, CAST(min(count) AS BIGINT) AS est
+          FROM coords JOIN regs USING (row_idx, bucket)
+          GROUP BY 1
+        ),
+        exact AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS exact
+          FROM events WHERE user_id % 17 = 0 GROUP BY 1
+        )
+        SELECT user_id, est, exact FROM est JOIN exact USING (user_id)
         """
     # negative-sampling oracle: vocabulary bucketing, per-bucket
     # ranks, md5-family probe arithmetic, and the filtered anti-join

@@ -182,6 +182,8 @@ def main() -> None:
         "loss_mask_spans",
         "contrastive_pairs",
         "conversation_quality",
+        "cms_user_counts",
+        "cms_user_estimate",
         "events_funnel",
         "events_retention",
         "event_transitions",
@@ -199,7 +201,8 @@ def main() -> None:
                       "stream_windowed_counts", "stream_turn_rate",
                       "stream_dedup", "stream_hll_distinct",
                       "stream_sessionize",
-                      "stream_minhash_dedup"]
+                      "stream_minhash_dedup",
+                      "stream_cms_counts"]
     qmap = entry.queries()
     for name in bench_queries:
         dt = float("inf")

@@ -198,3 +198,83 @@ def kmv_distinct(
         "kth_hash",
         F.round(est, 2).alias("est"),
     )
+
+
+def cms_bucket(value_col, row_idx: int, w: int):
+    """Count-min bucket for hash row ``row_idx``: the cross-engine
+    md5 family over 'row|value', mod table width."""
+    from json_ld_spark.operators.dedup import md5_hash60
+
+    return F.pmod(
+        md5_hash60(
+            F.concat(F.lit(f"{row_idx}|"), F.col(value_col).cast("string"))
+        ),
+        w,
+    ).cast("int")
+
+
+def cms_registers(
+    df: DataFrame,
+    key_col: str,
+    w: int = 256,
+    d: int = 4,
+) -> DataFrame:
+    """(row_idx, bucket, count): the nonzero registers of a d×w
+    count-min sketch (Cormode & Muthukrishnan 2005 — public
+    knowledge) over ``key_col`` occurrences. The registers ARE the
+    sketch and are exact integers, so the whole structure is
+    hash-gateable; point estimates are min-over-rows reads on top.
+
+    One pass: each record emits its d (row, bucket) coordinates via
+    a JVM inline array + explode, then ONE groupBy — map-side
+    partial aggregation makes the shuffle O(d·w) per partition
+    regardless of corpus size. At 100 TB this is the canonical
+    bounded-memory frequency summary: d·w integers total."""
+    coords = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(r).alias("row_idx"),
+                cms_bucket(key_col, r, w).alias("bucket"),
+            )
+            for r in range(d)
+        ])
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(coords.alias("c"))
+        .groupBy(
+            F.col("c.row_idx").alias("row_idx"),
+            F.col("c.bucket").alias("bucket"),
+        )
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def cms_estimate(
+    registers: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    w: int = 256,
+    d: int = 4,
+) -> DataFrame:
+    """(key, est): count-min point estimates (min over the d rows of
+    the probed registers) for each probe key. est ≥ true count by
+    construction; the probe side is tiny and broadcast."""
+    coords = probes.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row_idx"),
+                    cms_bucket(key_col, r, w).alias("bucket"),
+                )
+                for r in range(d)
+            ])
+        ).alias("c"),
+    ).select("key", F.col("c.row_idx").alias("row_idx"),
+             F.col("c.bucket").alias("bucket"))
+    return (
+        registers.join(F.broadcast(coords), ["row_idx", "bucket"])
+        .groupBy("key")
+        .agg(F.min("count").alias("est"))
+    )

@@ -446,3 +446,55 @@ def stream_minhash_dedup(banded_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_cms_registers(
+    keyed_stream: DataFrame,
+    w: int = 256,
+    d: int = 4,
+) -> DataFrame:
+    """Streaming count-min sketch (applyInPandasWithState): each hash
+    row's w-counter register array lives in state and SUMS each
+    micro-batch's (bucket) hits — the bounded-memory frequency
+    summary as stream state (d groups × w int64s total, independent
+    of key cardinality).
+
+    Snapshot contract as in stream_hll_registers: every invocation
+    emits the row's current register array with a monotone ``seq``;
+    the max-seq snapshot per row equals the batch sketch. Unlike HLL
+    registers, SUM-merge is NOT redelivery-idempotent — this is the
+    exactly-once-input sketch (the gate stages disjoint batches; an
+    at-least-once source needs upstream dedup, which
+    stream_exact_dedup provides).
+
+    Input: (row_idx int, bucket int) coordinate stream — computed
+    JVM-side (sketches.cms_bucket), d rows per record."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import numpy as np
+        import pandas as pd
+
+        (row_idx,) = key
+        if state.exists:
+            prev, prev_seq = state.get
+            regs = np.frombuffer(prev, dtype=np.int64).copy()
+        else:
+            regs, prev_seq = np.zeros(w, dtype=np.int64), 0
+        for pdf in pdf_iter:
+            if len(pdf):
+                np.add.at(regs, pdf["bucket"].to_numpy(np.int64), 1)
+        seq = prev_seq + 1
+        state.update((regs.tobytes(), seq))
+        yield pd.DataFrame(
+            [(int(row_idx), seq, [int(x) for x in regs])],
+            columns=["row_idx", "seq", "counts"],
+        )
+
+    return keyed_stream.groupBy("row_idx").applyInPandasWithState(
+        update,
+        outputStructType="row_idx int, seq int, counts array<long>",
+        stateStructType="regs binary, seq int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
