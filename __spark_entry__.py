@@ -2788,6 +2788,34 @@ def q_cms_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M = 8192
+_BLOOM_K = 4
+
+
+def q_bloom_user_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/sketches.bloom_bits /
+    bloom_contains) — the join-pruning primitive: build the m-bit
+    filter over event users, then probe with planted PRESENT keys
+    (every 17th user) and planted ABSENT keys (the same ids shifted
+    by 10^9). No false negatives by construction; false positives
+    are deterministic md5 arithmetic, so the oracle gates the exact
+    boolean per probe instead of tolerating a rate."""
+    from json_ld_spark.operators.sketches import bloom_bits, bloom_contains
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bits = bloom_bits(ev, "user_id", m_bits=_BLOOM_M, k=_BLOOM_K)
+    present = (
+        ev.filter(F.col("user_id") % 17 == 0).select("user_id").distinct()
+    )
+    absent = present.select(
+        (F.col("user_id") + 1000000000).alias("user_id")
+    )
+    probes = present.unionByName(absent)
+    return bloom_contains(
+        bits, probes, "user_id", m_bits=_BLOOM_M, k=_BLOOM_K
+    ).select(F.col("key").alias("user_id"), "present")
+
+
 def q_stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming count-min under the gate: events replayed as THREE
     disjoint time-ordered micro-batches (no redelivery — SUM-merge
@@ -3407,6 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": q_cms_user_counts,
         "cms_user_estimate": q_cms_user_estimate,
         "stream_cms_counts": q_stream_cms_counts,
+        "bloom_user_filter": q_bloom_user_filter,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -5382,6 +5411,37 @@ def oracle_sql() -> dict[str, str]:
           FROM events WHERE user_id % 17 = 0 GROUP BY 1
         )
         SELECT user_id, est, exact FROM est JOIN exact USING (user_id)
+        """
+    # bloom oracle: set bits + all-k-probed-bits membership, exact
+    # booleans (false positives are deterministic md5 arithmetic)
+    _bloom_coord = (
+        "CAST(CAST(concat('0x', substring(md5("
+        "CAST(r.r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)"
+        f"), 1, 15)) AS BIGINT) % {_BLOOM_M} AS INT)"
+    )
+    d["bloom_user_filter"] = f"""
+        WITH bits AS (
+          SELECT DISTINCT {_bloom_coord} AS bit_idx
+          FROM events CROSS JOIN range(0, {_BLOOM_K}) r(r)
+          WHERE user_id IS NOT NULL
+        ),
+        probes AS (
+          SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 0
+          UNION ALL
+          SELECT DISTINCT user_id + 1000000000 FROM events
+          WHERE user_id % 17 = 0
+        ),
+        coords AS (
+          SELECT user_id, {_bloom_coord} AS bit_idx
+          FROM probes CROSS JOIN range(0, {_BLOOM_K}) r(r)
+        ),
+        hits AS (
+          SELECT user_id, count(*) AS n
+          FROM coords JOIN bits USING (bit_idx)
+          GROUP BY 1
+        )
+        SELECT p.user_id, coalesce(h.n, 0) = {_BLOOM_K} AS present
+        FROM probes p LEFT JOIN hits h USING (user_id)
         """
     # negative-sampling oracle: vocabulary bucketing, per-bucket
     # ranks, md5-family probe arithmetic, and the filtered anti-join

@@ -184,6 +184,7 @@ def main() -> None:
         "conversation_quality",
         "cms_user_counts",
         "cms_user_estimate",
+        "bloom_user_filter",
         "events_funnel",
         "events_retention",
         "event_transitions",

@@ -278,3 +278,54 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min("count").alias("est"))
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k: int = 4,
+) -> DataFrame:
+    """(bit_idx): the set bits of a Bloom filter over ``key_col``
+    (Bloom 1970 — public knowledge): k md5-family coordinates per
+    key, DISTINCT — the classic join-pruning / membership summary,
+    m_bits of state at any corpus size. The bit set IS the filter
+    and is exactly gateable."""
+    coords = F.explode(
+        F.array(*[cms_bucket(key_col, r, m_bits) for r in range(k)])
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(coords.alias("bit_idx"))
+        .distinct()
+    )
+
+
+def bloom_contains(
+    bits: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k: int = 4,
+) -> DataFrame:
+    """(key, present): Bloom membership — present iff ALL k probed
+    bits are set. No false negatives by construction; false
+    positives are deterministic (same hashes both engines), so the
+    oracle gates them too rather than tolerating them."""
+    coords = probes.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(*[cms_bucket(key_col, r, m_bits) for r in range(k)])
+        ).alias("bit_idx"),
+    )
+    hits = (
+        coords.join(F.broadcast(bits), "bit_idx")
+        .groupBy("key")
+        .agg(F.count("*").alias("_n"))
+    )
+    return probes.select(F.col(key_col).alias("key")).distinct().join(
+        hits, "key", "left"
+    ).select(
+        "key",
+        (F.coalesce(F.col("_n"), F.lit(0)) == k).alias("present"),
+    )
