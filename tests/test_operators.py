@@ -1688,3 +1688,53 @@ def test_loss_mask_spans_offsets(spark):
     assert got[("c1", 3)] == (30, 34, 4)
     assert got[("c2", 0)] == (0, 4, 4)
     assert ("c1", 0) not in got and ("c1", 2) not in got
+
+
+def test_cms_estimate_upper_bounds_truth(spark):
+    from collections import Counter
+
+    from json_ld_spark.operators.sketches import cms_estimate, cms_registers
+
+    vals = [f"k{i % 23}" for i in range(500)] + ["hot"] * 200
+    df = spark.createDataFrame([(v,) for v in vals], "key string")
+    regs = cms_registers(df, "key", w=64, d=4)
+    probes = spark.createDataFrame(
+        [(k,) for k in set(vals)], "key string"
+    )
+    est = {
+        r["key"]: r["est"]
+        for r in cms_estimate(regs, probes, "key", w=64, d=4).collect()
+    }
+    truth = Counter(vals)
+    # one-sided guarantee: est >= exact, every key present
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+    # total register mass per row == n rows
+    per_row = {
+        r["row_idx"]: r["s"]
+        for r in regs.groupBy("row_idx")
+        .agg(__import__("pyspark.sql.functions", fromlist=["F"]).sum(
+            "count").alias("s"))
+        .collect()
+    }
+    assert all(v == len(vals) for v in per_row.values())
+
+
+def test_bloom_no_false_negatives(spark):
+    from json_ld_spark.operators.sketches import bloom_bits, bloom_contains
+
+    keys = [(f"u{i}",) for i in range(200)]
+    df = spark.createDataFrame(keys, "key string")
+    bits = bloom_bits(df, "key", m_bits=4096, k=4)
+    probes = spark.createDataFrame(
+        keys + [(f"absent{i}",) for i in range(50)], "key string"
+    )
+    got = {
+        r["key"]: r["present"]
+        for r in bloom_contains(bits, probes, "key", m_bits=4096, k=4).collect()
+    }
+    # every inserted key must be present — no false negatives, ever
+    assert all(got[f"u{i}"] for i in range(200))
+    # with 200 keys in 4096 bits, most absent probes must be negative
+    fp = sum(1 for i in range(50) if got[f"absent{i}"])
+    assert fp <= 5, fp
