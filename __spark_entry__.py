@@ -2355,6 +2355,69 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _luhn_plant_cols():
+    """(valid_card, invalid_card) column pair: 15 closed-form digits
+    g_j = (doc_id*3 + j*7) % 10 plus the Luhn check digit (valid) or
+    check+5 mod 10 (never valid — 5 ≢ 0 mod 10). Both engines build
+    the identical strings from the same arithmetic."""
+    d = F.col("doc_id")
+    digs = [(d * 3 + j * 7) % 10 for j in range(15)]
+    s = F.lit(0)
+    for j, g in enumerate(digs):
+        # with the check digit at position 16, digit j doubles iff
+        # its position from the right (16 - j) is even, i.e. j even
+        if j % 2 == 0:
+            dd = g * 2
+            s = s + F.when(dd > 9, dd - 9).otherwise(dd)
+        else:
+            s = s + g
+    check = F.pmod(F.lit(10) - F.pmod(s, 10), 10)
+    body = F.concat(*[g.cast("string") for g in digs])
+    return (
+        F.concat(body, check.cast("string")),
+        F.concat(body, F.pmod(check + 5, 10).cast("string")),
+    )
+
+
+def q_pii_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated card redaction: documents get BOTH a
+    Luhn-valid 16-digit number and a same-shape invalid one planted;
+    the operator extracts all 16-digit candidates, validates the
+    Luhn checksum in column arithmetic (textstats.luhn_valid), and
+    redacts ONLY the valid ones — the false-positive control a bare
+    [0-9]{16} regex lacks (order ids and timestamps survive). The
+    oracle composes the expected counts and redacted text from the
+    closed forms, so a wrong doubling parity, a missed candidate, or
+    redacting the invalid lookalike all fail the hash."""
+    from json_ld_spark.operators.textstats import luhn_valid
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    valid_card, invalid_card = _luhn_plant_cols()
+    t = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            F.col("text"), F.lit(" card "), valid_card,
+            F.lit(" ok card "), invalid_card, F.lit(" fake"),
+        ),
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", t.alias("_t"))
+    cands = F.regexp_extract_all(F.col("_t"), F.lit("[0-9]{16}"), 0)
+    # one-arg closure: passing luhn_valid directly would make Spark
+    # bind the array index to its n_digits parameter
+    valids = F.filter(cands, lambda c: luhn_valid(c))
+    redacted = F.aggregate(
+        valids,
+        F.col("_t"),
+        lambda acc, c: F.replace(acc, c, F.lit("<CARD>")),
+    )
+    return staged.select(
+        "doc_id",
+        F.size(cands).alias("n_cards"),
+        F.size(valids).alias("n_valid"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
 def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-curriculum assignment: per-source EXACT quartile
     boundaries (the integer nearest-rank percentiles of
@@ -3436,6 +3499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_estimate": q_cms_user_estimate,
         "stream_cms_counts": q_stream_cms_counts,
         "bloom_user_filter": q_bloom_user_filter,
+        "pii_luhn_cards": q_pii_luhn_cards,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -5411,6 +5475,36 @@ def oracle_sql() -> dict[str, str]:
           FROM events WHERE user_id % 17 = 0 GROUP BY 1
         )
         SELECT user_id, est, exact FROM est JOIN exact USING (user_id)
+        """
+    # Luhn-card oracle: digits, checksum, and the redacted text all
+    # COMPOSED from the closed forms — only extracting candidates,
+    # validating the checksum with the right doubling parity, and
+    # redacting exactly the valid one reproduces the md5
+    _lh_digs = [f"((doc_id * 3 + {j} * 7) % 10)" for j in range(15)]
+    _lh_terms = []
+    for _j, _g in enumerate(_lh_digs):
+        if _j % 2 == 0:
+            _lh_terms.append(
+                f"(CASE WHEN 2 * {_g} > 9 THEN 2 * {_g} - 9"
+                f" ELSE 2 * {_g} END)"
+            )
+        else:
+            _lh_terms.append(_g)
+    _lh_s = " + ".join(_lh_terms)
+    _lh_body = " || ".join(f"CAST({g} AS VARCHAR)" for g in _lh_digs)
+    _lh_check = f"((10 - ({_lh_s}) % 10) % 10)"
+    _lh_invalid = f"{_lh_body} || CAST(({_lh_check} + 5) % 10 AS VARCHAR)"
+    d["pii_luhn_cards"] = f"""
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 13 = 0 THEN 2 ELSE 0 END AS INT)
+                 AS n_cards,
+               CAST(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS INT)
+                 AS n_valid,
+               md5(CASE WHEN doc_id % 13 = 0
+                        THEN text || ' card <CARD> ok card '
+                             || {_lh_invalid} || ' fake'
+                        ELSE text END) AS redacted_md5
+        FROM documents
         """
     # bloom oracle: set bits + all-k-probed-bits membership, exact
     # booleans (false positives are deterministic md5 arithmetic)

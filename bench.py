@@ -185,6 +185,7 @@ def main() -> None:
         "cms_user_counts",
         "cms_user_estimate",
         "bloom_user_filter",
+        "pii_luhn_cards",
         "events_funnel",
         "events_retention",
         "event_transitions",

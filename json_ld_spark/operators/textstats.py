@@ -573,3 +573,24 @@ def quality_classifier_scores(
         "logit_ppm",
         F.expr("(w_sum * 1000) div greatest(n_words, 1)"),
     ).select("doc_id", "n_words", "w_sum", "logit_ppm", "quality_pass")
+
+
+def luhn_valid(card: Column, n_digits: int = 16) -> Column:
+    """Luhn checksum validation (ISO/IEC 7812 mod-10 — public
+    knowledge) for a fixed-width digit string: from the RIGHTMOST
+    digit, every second digit doubles (minus 9 when > 9) and the
+    total must be ≡ 0 (mod 10). Pure column arithmetic — the PII
+    pass uses it so checksum-invalid 16-digit lookalikes (order ids,
+    timestamps) are NOT redacted."""
+    terms = []
+    for i in range(1, n_digits + 1):  # 1-based from the left
+        dig = card.substr(i, 1).cast("int")
+        if (n_digits - i) % 2 == 1:  # even position from the right
+            dd = dig * 2
+            terms.append(F.when(dd > 9, dd - 9).otherwise(dd))
+        else:
+            terms.append(dig)
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return F.pmod(total, 10) == 0

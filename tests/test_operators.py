@@ -1738,3 +1738,20 @@ def test_bloom_no_false_negatives(spark):
     # with 200 keys in 4096 bits, most absent probes must be negative
     fp = sum(1 for i in range(50) if got[f"absent{i}"])
     assert fp <= 5, fp
+
+
+def test_luhn_valid_known_numbers(spark):
+    import pyspark.sql.functions as F
+
+    from json_ld_spark.operators.textstats import luhn_valid
+
+    cases = [
+        ("4111111111111111", True),    # classic Visa test number
+        ("4111111111111112", False),
+        ("5500005555555559", True),
+        ("5500005555555550", False),
+        ("1234567812345670", True),    # check digit 0 case
+    ]
+    df = spark.createDataFrame(cases, "card string, want boolean")
+    got = df.select("card", "want", luhn_valid(F.col("card")).alias("g"))
+    assert all(r["g"] == r["want"] for r in got.collect())
