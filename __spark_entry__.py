@@ -2379,6 +2379,40 @@ def _luhn_plant_cols():
     )
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format pivot: per-day event counts and decimal-exact
+    value sums, one column pair per event type (Spark
+    ``groupBy().pivot()`` with an EXPLICIT value list — the implicit
+    list runs an extra distinct scan and breaks column determinism).
+    The oracle is conditional aggregation (FILTER), the relational
+    dual, so the reshape itself is what's gated."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    wide = (
+        ev.groupBy("day")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count(*) is illegal in Pivot
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("v"),
+        )
+    )
+    cols = [F.col("day")]
+    for t in _PIVOT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"))
+        cols.append(
+            F.coalesce(
+                F.col(f"{t}_v"), F.lit(0).cast("decimal(18,2)")
+            ).alias(f"{t}_v")
+        )
+    return wide.select(*cols)
+
+
 def q_pii_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-validated card redaction: documents get BOTH a
     Luhn-valid 16-digit number and a same-shape invalid one planted;
@@ -3500,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_counts": q_stream_cms_counts,
         "bloom_user_filter": q_bloom_user_filter,
         "pii_luhn_cards": q_pii_luhn_cards,
+        "events_pivot": q_events_pivot,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -5475,6 +5510,20 @@ def oracle_sql() -> dict[str, str]:
           FROM events WHERE user_id % 17 = 0 GROUP BY 1
         )
         SELECT user_id, est, exact FROM est JOIN exact USING (user_id)
+        """
+    # pivot oracle: conditional aggregation (FILTER) — the relational
+    # dual of groupBy().pivot(), so the reshape is what's gated
+    _pv_cols = ",\n               ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT)"
+        f" AS {t}_n,\n               "
+        f"CAST(coalesce(sum(CAST(value AS DECIMAL(18,2)))"
+        f" FILTER (event_type = '{t}'), 0) AS DECIMAL(18,2)) AS {t}_v"
+        for t in _PIVOT_TYPES
+    )
+    d["events_pivot"] = f"""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               {_pv_cols}
+        FROM events GROUP BY 1
         """
     # Luhn-card oracle: digits, checksum, and the redacted text all
     # COMPOSED from the closed forms — only extracting candidates,

@@ -186,6 +186,7 @@ def main() -> None:
         "cms_user_estimate",
         "bloom_user_filter",
         "pii_luhn_cards",
+        "events_pivot",
         "events_funnel",
         "events_retention",
         "event_transitions",
