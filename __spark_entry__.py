@@ -2382,6 +2382,44 @@ def _luhn_plant_cols():
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+_MAINT_WINDOWS = 120  # 30 days × one 45-min window per 6 h
+
+
+def q_session_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/joins.
+    interval_overlap_join): user sessions against closed-form
+    maintenance windows (45 min every 6 h), exact microsecond
+    overlap lengths. Grid-bucketized equi-join with the
+    first-shared-cell arithmetic dedup — no DISTINCT, no range
+    nested-loop; the oracle is DuckDB's plain theta join over the
+    same sessionize CTE, so the bucketization must lose and
+    duplicate nothing."""
+    from json_ld_spark.operators.joins import interval_overlap_join
+
+    sessions = q_events_sessionize(spark, sf_dir).select(
+        F.lit(1).alias("k"),
+        "user_id",
+        "session_idx",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "s_us"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("e_us"),
+    )
+    base_us = F.unix_micros(F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    windows = spark.range(_MAINT_WINDOWS).select(
+        F.lit(1).alias("k"),
+        F.col("id").cast("int").alias("window_idx"),
+        (base_us + F.col("id") * 21600 * 1_000_000).alias("w_s"),
+        (base_us + F.col("id") * 21600 * 1_000_000
+         + 2700 * 1_000_000).alias("w_e"),
+    )
+    out = interval_overlap_join(
+        sessions, windows, on="k",
+        a_start="s_us", a_end="e_us", b_start="w_s", b_end="w_e",
+    )
+    return out.select("user_id", "session_idx", "window_idx", "overlap_us")
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-format pivot: per-day event counts and decimal-exact
     value sums, one column pair per event type (Spark
@@ -3535,6 +3573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_user_filter": q_bloom_user_filter,
         "pii_luhn_cards": q_pii_luhn_cards,
         "events_pivot": q_events_pivot,
+        "session_window_overlap": q_session_window_overlap,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -5510,6 +5549,28 @@ def oracle_sql() -> dict[str, str]:
           FROM events WHERE user_id % 17 = 0 GROUP BY 1
         )
         SELECT user_id, est, exact FROM est JOIN exact USING (user_id)
+        """
+    # interval-overlap oracle: plain theta join over the sessionize
+    # CTE — the Spark bucketization must lose and duplicate nothing
+    d["session_window_overlap"] = f"""
+        WITH s AS ({d["events_sessionize"]}),
+        su AS (
+          SELECT user_id, session_idx,
+                 epoch_us(session_start) AS s_us,
+                 epoch_us(session_end) AS e_us
+          FROM s
+        ),
+        w AS (
+          SELECT CAST(k AS INT) AS window_idx,
+                 epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+                   + k * CAST(21600000000 AS BIGINT) AS w_s,
+                 epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+                   + k * CAST(21600000000 AS BIGINT) + CAST(2700000000 AS BIGINT) AS w_e
+          FROM range(0, {_MAINT_WINDOWS}) t(k)
+        )
+        SELECT user_id, session_idx, window_idx,
+               least(e_us, w_e) - greatest(s_us, w_s) AS overlap_us
+        FROM su JOIN w ON s_us <= w_e AND w_s <= e_us
         """
     # pivot oracle: conditional aggregation (FILTER) — the relational
     # dual of groupBy().pivot(), so the reshape is what's gated

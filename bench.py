@@ -187,6 +187,7 @@ def main() -> None:
         "bloom_user_filter",
         "pii_luhn_cards",
         "events_pivot",
+        "session_window_overlap",
         "events_funnel",
         "events_retention",
         "event_transitions",

@@ -113,3 +113,39 @@ def test_asof_single_shuffle_no_join_node(spark):
     # the as-of is a window over a union — no join operator at all
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # one per input branch of union
+
+
+def test_interval_overlap_join_no_dup_no_loss(spark):
+    """Grid bucketization must emit each overlapping pair exactly
+    once — including pairs spanning MANY shared cells — and exactly
+    the brute-force pair set."""
+    from json_ld_spark.operators.joins import interval_overlap_join
+
+    US = 1_000_000
+    a_rows = [
+        (1, "a1", 0 * US, 10_000 * US),      # spans ~3 cells of 3600s
+        (1, "a2", 5_000 * US, 5_100 * US),
+        (1, "a3", 50_000 * US, 50_010 * US),
+        (2, "a4", 0 * US, 100 * US),         # other key
+    ]
+    b_rows = [
+        (1, "b1", 4_000 * US, 9_000 * US),   # overlaps a1 (5 shared cells w/ small bucket) + a2
+        (1, "b2", 10_000 * US, 10_001 * US), # touches a1 at the boundary (inclusive)
+        (1, "b3", 99_999 * US, 99_999 * US),
+        (2, "b4", 50 * US, 60 * US),
+    ]
+    a = spark.createDataFrame(a_rows, "k int, aid string, s long, e long")
+    b = spark.createDataFrame(b_rows, "k int, bid string, bs long, be long")
+    out = interval_overlap_join(
+        a, b, on="k", a_start="s", a_end="e", b_start="bs", b_end="be",
+        bucket_us=1000 * US,  # small bucket: many shared cells per pair
+    )
+    got = {(r["aid"], r["bid"]): r["overlap_us"] for r in out.collect()}
+    expect = {}
+    for _, aid, s, e in a_rows:
+        for _, bid, bs, be in b_rows:
+            ka = [r for r in a_rows if r[1] == aid][0][0]
+            kb = [r for r in b_rows if r[1] == bid][0][0]
+            if ka == kb and s <= be and bs <= e:
+                expect[(aid, bid)] = min(e, be) - max(s, bs)
+    assert got == expect, (got, expect)
