@@ -2451,6 +2451,40 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(*cols)
 
 
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the reshape dual: the wide per-day pivot
+    melts back to long (day, event_type, n, v) via Spark's native
+    ``unpivot`` on the count columns plus a value-column join-back.
+    Gated against the plain long-format aggregation, so
+    pivot→unpivot must be the identity on the aggregate — a dropped
+    day, a column/type mix-up, or a coalesce-zero leaking into the
+    melt all fail the hash (zero-count types are filtered, matching
+    the long form which never had those rows)."""
+    wide = q_events_pivot(spark, sf_dir)
+    n_long = wide.unpivot(
+        ["day"],
+        [f"{t}_n" for t in _PIVOT_TYPES],
+        "type_col",
+        "n",
+    ).withColumn(
+        "event_type", F.replace(F.col("type_col"), F.lit("_n"), F.lit(""))
+    )
+    v_long = wide.unpivot(
+        ["day"],
+        [f"{t}_v" for t in _PIVOT_TYPES],
+        "type_col",
+        "v",
+    ).withColumn(
+        "event_type", F.replace(F.col("type_col"), F.lit("_v"), F.lit(""))
+    )
+    return (
+        n_long.select("day", "event_type", "n")
+        .join(v_long.select("day", "event_type", "v"), ["day", "event_type"])
+        .filter(F.col("n") > 0)
+        .select("day", "event_type", "n", F.col("v").alias("total_value"))
+    )
+
+
 def q_pii_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-validated card redaction: documents get BOTH a
     Luhn-valid 16-digit number and a same-shape invalid one planted;
@@ -3574,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_luhn_cards": q_pii_luhn_cards,
         "events_pivot": q_events_pivot,
         "session_window_overlap": q_session_window_overlap,
+        "events_unpivot": q_events_unpivot,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -5549,6 +5584,15 @@ def oracle_sql() -> dict[str, str]:
           FROM events WHERE user_id % 17 = 0 GROUP BY 1
         )
         SELECT user_id, est, exact FROM est JOIN exact USING (user_id)
+        """
+    # unpivot oracle: the reshape round-trip must be the identity on
+    # the long-format aggregate
+    d["events_unpivot"] = """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0)
+                 AS DECIMAL(18,2)) AS total_value
+        FROM events GROUP BY 1, 2
         """
     # interval-overlap oracle: plain theta join over the sessionize
     # CTE — the Spark bucketization must lose and duplicate nothing

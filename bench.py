@@ -188,6 +188,7 @@ def main() -> None:
         "pii_luhn_cards",
         "events_pivot",
         "session_window_overlap",
+        "events_unpivot",
         "events_funnel",
         "events_retention",
         "event_transitions",
