@@ -735,3 +735,32 @@ def test_flac_flows_through_decode_audio_and_stats(spark):
     assert decode_audio(bytes(media["payload"]), strict=True) == decode_flac(
         bytes(media["payload"])
     )
+
+
+def test_flac_round_trip_property():
+    """Hypothesis: ANY int16 sequence round-trips losslessly through
+    the FLAC subset encoder/decoder (CONSTANT, FIXED, VERBATIM, Rice
+    escapes, partial final blocks)."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from json_ld_spark.operators.flac import decode_flac, encode_flac
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=700,
+        ),
+        st.sampled_from([64, 256, 333]),
+    )
+    def roundtrip(samples, block):
+        payload = encode_flac(samples, 16000, block)
+        rate, n, pcm = decode_flac(payload)
+        assert rate == 16000 and n == len(samples)
+        assert list(struct.unpack(f"<{n}h", pcm)) == samples
+
+    roundtrip()

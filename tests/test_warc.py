@@ -135,3 +135,48 @@ def test_robots_parser_and_matching():
     assert robots_allowed("/a/b", tie) is True
     # consecutive-UA group applies to both agents
     assert parse_robots(txt, "OtherBot") == star
+
+
+def test_warc_round_trip_property():
+    """Hypothesis: arbitrary binary bodies (including CRLFCRLF inside
+    the BODY — the framing trap) and header values survive the
+    .warc.gz round-trip, and member iteration matches record count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from json_ld_spark.sources.warc import (
+        build_warc_gz,
+        iter_warc_members,
+        parse_warc_gz,
+    )
+
+    header_val = st.text(
+        alphabet=st.characters(
+            codec="ascii", exclude_characters="\r\n", min_codepoint=32
+        ),
+        min_size=0,
+        max_size=30,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(header_val, st.binary(min_size=0, max_size=200)),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def roundtrip(records):
+        recs = [
+            ({"WARC-Type": "response", "WARC-Target-URI": uri.strip()}, body)
+            for uri, body in records
+        ]
+        payload = build_warc_gz(recs)
+        parsed = parse_warc_gz(payload)
+        assert len(parsed) == len(recs)
+        for (h0, b0), (h1, b1) in zip(recs, parsed):
+            assert b1 == b0
+            assert h1["WARC-Target-URI"] == h0["WARC-Target-URI"]
+        assert len(list(iter_warc_members(payload))) == len(recs)
+
+    roundtrip()
