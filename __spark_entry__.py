@@ -290,6 +290,33 @@ def q_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_components(docs, threshold=0.3, hash_family="md5")
 
 
+def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection → SELECTION: one canonical document per NEAR-dup
+    cluster (minhash components), chosen by quality argmax with a
+    deterministic min-id tie-break — the step that turns the
+    clustering into an actual deduplicated corpus (dedup_keep_best
+    does this per EXACT fingerprint; this is the near-dup version).
+    Both the clustering and the per-cluster argmax are replayed by
+    the oracle (recursive-CTE components + the same quality
+    expression + the same ordering)."""
+    from json_ld_spark.operators.dedup import minhash_dedup_components
+    from json_ld_spark.operators.textstats import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    comps = minhash_dedup_components(docs, threshold=0.3, hash_family="md5")
+    qual = docs.select(
+        F.col("doc_id").alias("id"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    j = comps.join(qual, "id")
+    order = F.struct(F.col("q").alias("q"), (-F.col("id")).alias("nid"))
+    return j.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.max_by("id", order).alias("keep_id"),
+        F.round(F.max_by("q", order), 6).alias("keep_quality"),
+    )
+
+
 _NEARDUP_PLANT_STRIDE = 50
 _NEARDUP_PLANT_OFFSET = 1_000_000
 
@@ -3609,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "session_window_overlap": q_session_window_overlap,
         "events_unpivot": q_events_unpivot,
+        "neardup_canonical": q_neardup_canonical,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "event_transitions": q_event_transitions,
@@ -5584,6 +5612,29 @@ def oracle_sql() -> dict[str, str]:
           FROM events WHERE user_id % 17 = 0 GROUP BY 1
         )
         SELECT user_id, est, exact FROM est JOIN exact USING (user_id)
+        """
+    # near-dup canonical oracle: the full recursive-CTE component
+    # closure feeds the same quality expression and argmax ordering
+    d["neardup_canonical"] = f"""
+        WITH comp AS (SELECT * FROM ({_minhash_oracle_sql()}) t),
+        qual AS (
+          SELECT doc_id AS id, ({quality}) AS q FROM documents
+        ),
+        j AS (
+          SELECT comp.component, comp.id, qual.q
+          FROM comp JOIN qual USING (id)
+        ),
+        ranked AS (
+          SELECT component, id, q, row_number() OVER (
+            PARTITION BY component ORDER BY q DESC, id ASC) AS rn
+          FROM j
+        )
+        SELECT r.component, c.n_members, r.id AS keep_id,
+               round(r.q, 6) AS keep_quality
+        FROM ranked r
+        JOIN (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+              FROM j GROUP BY 1) c USING (component)
+        WHERE r.rn = 1
         """
     # unpivot oracle: the reshape round-trip must be the identity on
     # the long-format aggregate

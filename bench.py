@@ -189,6 +189,7 @@ def main() -> None:
         "events_pivot",
         "session_window_overlap",
         "events_unpivot",
+        "neardup_canonical",
         "events_funnel",
         "events_retention",
         "event_transitions",
