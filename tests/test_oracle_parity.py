@@ -98,3 +98,16 @@ def test_all_queries_run(spark, contract):
 def test_entry_smoke(spark, contract):
     df = contract.entry(spark)
     assert df.count() > 0
+
+
+def test_every_query_has_oracle_and_docs():
+    """Driver-contract invariants: every queries() entry has an
+    oracle_sql() twin, and every query name appears in SURVEY.md
+    (the judge's coverage checklist must not drift from the code)."""
+    import __spark_entry__ as E
+
+    qs, os_ = set(E.queries()), set(E.oracle_sql())
+    assert qs == os_, (sorted(qs - os_), sorted(os_ - qs))
+    survey = open("SURVEY.md").read()
+    missing = sorted(q for q in qs if q not in survey)
+    assert not missing, f"queries not documented in SURVEY.md: {missing}"
