@@ -3553,7 +3553,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry. ORDER MATTERS for driver verification: the
+    round driver oracle-checks the FIRST ~50 dict entries, so the
+    registry is ordered by verification debt — (1) the 50 queries
+    never driver-checked through r4, (2) the 10 whose last green
+    driver row is r1–r3, (3) the 50 verified green in r4
+    (CORRECTNESS_r04.json), each block in stable prior order."""
     return {
+        # -- block 1: never driver-verified through r4 (50) ----------
+        "hll_distinct_users": q_hll_distinct_users,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "entity_adamic_adar": q_entity_adamic_adar,
+        "events_rollup": q_events_rollup,
+        "event_bursts": q_event_bursts,
+        "pii_redaction": q_pii_redaction,
+        "curriculum_buckets": q_curriculum_buckets,
+        "gif_decode": q_gif_decode,
+        "adpcm_decode": q_adpcm_decode,
+        "flac_decode": q_flac_decode,
+        "warc_ingest": q_warc_ingest,
+        "url_canonicalize": q_url_canonicalize,
+        "html_extract": q_html_extract,
+        "kg_negative_samples": q_kg_negative_samples,
+        "entity_kcore": q_entity_kcore,
+        "crawl_domain_stats": q_crawl_domain_stats,
+        "bpe_train_encode": q_bpe_train_encode,
+        "robots_filter": q_robots_filter,
+        "quality_classifier": q_quality_classifier,
+        "stream_minhash_dedup": q_stream_minhash_dedup,
+        "jaccard_prefix_join": q_jaccard_prefix_join,
+        "loss_mask_spans": q_loss_mask_spans,
+        "contrastive_pairs": q_contrastive_pairs,
+        "conversation_quality": q_conversation_quality,
+        "cms_user_counts": q_cms_user_counts,
+        "cms_user_estimate": q_cms_user_estimate,
+        "stream_cms_counts": q_stream_cms_counts,
+        "bloom_user_filter": q_bloom_user_filter,
+        "pii_luhn_cards": q_pii_luhn_cards,
+        "events_pivot": q_events_pivot,
+        "session_window_overlap": q_session_window_overlap,
+        "events_unpivot": q_events_unpivot,
+        "neardup_canonical": q_neardup_canonical,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "event_transitions": q_event_transitions,
+        "bm25_scores": q_bm25_scores,
+        "embedding_quantize": q_embedding_quantize,
+        "weighted_sample": q_weighted_sample,
+        "stream_hll_distinct": q_stream_hll_distinct,
+        "stream_sessionize": q_stream_sessionize,
+        "pca_top_component": q_pca_top_component,
+        "table_profile": q_table_profile,
+        "mention_kwic": q_mention_kwic,
+        "pack_turns": q_pack_turns,
+        "dup_ngram_frac": q_dup_ngram_frac,
+        "dedup_incremental": q_dedup_incremental,
+        "chunk_documents_bpe": q_chunk_documents_bpe,
+        "bpe_train_merges": q_bpe_train_merges,
+        "pack_chunks_bpe": q_pack_chunks_bpe,
+        # -- block 2: last green driver row is r1–r3 (10) ------------
+        "dedup_keep": q_dedup_keep,
+        "dedup_keep_best": q_dedup_keep_best,
+        "chunk_documents": q_chunk_documents,
+        "pack_chunks": q_pack_chunks,
+        "deterministic_sample": q_deterministic_sample,
+        "events_sessionize": q_events_sessionize,
+        "lineitem_agg": q_lineitem_agg,
+        "revenue_by_nation": q_revenue_by_nation,
+        "events_daily": q_events_daily,
+        "top_suppliers_window": q_top_suppliers_window,
+        # -- block 3: green in CORRECTNESS_r04.json (50) -------------
         "transcripts_derive": q_transcripts_derive,
         "turn_ordering": q_turn_ordering,
         "kg_triples_meta": q_kg_triples_meta,
@@ -3604,66 +3673,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_in_windows": q_events_in_windows,
         "source_percentiles": q_source_percentiles,
-        "hll_distinct_users": q_hll_distinct_users,
-        "kmv_distinct_users": q_kmv_distinct_users,
-        "entity_adamic_adar": q_entity_adamic_adar,
-        "events_rollup": q_events_rollup,
-        "event_bursts": q_event_bursts,
-        "pii_redaction": q_pii_redaction,
-        "curriculum_buckets": q_curriculum_buckets,
-        "gif_decode": q_gif_decode,
-        "adpcm_decode": q_adpcm_decode,
-        "flac_decode": q_flac_decode,
-        "warc_ingest": q_warc_ingest,
-        "url_canonicalize": q_url_canonicalize,
-        "html_extract": q_html_extract,
-        "kg_negative_samples": q_kg_negative_samples,
-        "entity_kcore": q_entity_kcore,
-        "crawl_domain_stats": q_crawl_domain_stats,
-        "bpe_train_encode": q_bpe_train_encode,
-        "robots_filter": q_robots_filter,
-        "quality_classifier": q_quality_classifier,
-        "stream_minhash_dedup": q_stream_minhash_dedup,
-        "jaccard_prefix_join": q_jaccard_prefix_join,
-        "loss_mask_spans": q_loss_mask_spans,
-        "contrastive_pairs": q_contrastive_pairs,
-        "conversation_quality": q_conversation_quality,
-        "cms_user_counts": q_cms_user_counts,
-        "cms_user_estimate": q_cms_user_estimate,
-        "stream_cms_counts": q_stream_cms_counts,
-        "bloom_user_filter": q_bloom_user_filter,
-        "pii_luhn_cards": q_pii_luhn_cards,
-        "events_pivot": q_events_pivot,
-        "session_window_overlap": q_session_window_overlap,
-        "events_unpivot": q_events_unpivot,
-        "neardup_canonical": q_neardup_canonical,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "event_transitions": q_event_transitions,
-        "bm25_scores": q_bm25_scores,
-        "embedding_quantize": q_embedding_quantize,
-        "weighted_sample": q_weighted_sample,
-        "stream_hll_distinct": q_stream_hll_distinct,
-        "stream_sessionize": q_stream_sessionize,
-        "pca_top_component": q_pca_top_component,
-        "table_profile": q_table_profile,
-        "mention_kwic": q_mention_kwic,
-        "pack_turns": q_pack_turns,
-        "dup_ngram_frac": q_dup_ngram_frac,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_keep": q_dedup_keep,
-        "dedup_keep_best": q_dedup_keep_best,
-        "chunk_documents": q_chunk_documents,
-        "chunk_documents_bpe": q_chunk_documents_bpe,
-        "bpe_train_merges": q_bpe_train_merges,
-        "pack_chunks": q_pack_chunks,
-        "pack_chunks_bpe": q_pack_chunks_bpe,
-        "deterministic_sample": q_deterministic_sample,
-        "events_sessionize": q_events_sessionize,
-        "lineitem_agg": q_lineitem_agg,
-        "revenue_by_nation": q_revenue_by_nation,
-        "events_daily": q_events_daily,
-        "top_suppliers_window": q_top_suppliers_window,
     }
 
 

@@ -58,6 +58,10 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
+        # progress bars interleave \r-lines into captured output; the
+        # round driver keeps only the last ~2000 chars of the bench
+        # run, so every non-JSON byte risks clipping the result line
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     if warehouse:
