@@ -346,18 +346,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(corpus, threshold=0.5)
 
 
-def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LABEL-FREE embedding near-dup: blocking by sign-LSH bucket
-    instead of a given label column — the realistic path at 100 TB
-    (no labels exist). Same planted positives as embedding_neardup;
-    the literal plane matrix makes bucketing — and therefore the whole
-    candidate set — reproducible by the SQL oracle. A planted pair
-    whose members straddle a bucket boundary is correctly ABSENT in
-    both engines (blocked near-dup trades recall for the per-bucket
-    join; the gate checks the trade is computed identically)."""
-    from json_ld_spark.operators.dedup import embedding_neardup_pairs
-    from json_ld_spark.operators.similarity import sign_lsh_bucket_literal
-
+def _neardup_planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus the planted near-duplicates (see
+    q_embedding_neardup): every 50th vector gets a derived twin
+    (v → round(0.9·v + 0.05, 4), id + 1e6)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     planted = emb.filter(
         F.col("vec_id") % _NEARDUP_PLANT_STRIDE == 0
@@ -368,16 +360,47 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 0.9 + 0.05, 4).cast("float"),
         ).alias("embedding"),
     )
-    corpus = emb.select("vec_id", "embedding").unionByName(planted)
-    bucketed = corpus.withColumn(
-        "_lshb",
-        sign_lsh_bucket_literal(
-            F.col("embedding").cast("array<double>"), _lsh_planes()
-        ),
+    return emb.select("vec_id", "embedding").unionByName(planted)
+
+
+def _neardup_banded_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """Shared banded-LSH candidate+cosine path for the label-free
+    near-dup queries. planes/bands are sized to the ACTUAL corpus
+    (neardup_lsh_config — bucket count grows with N, so Σ bucket²
+    stays linear; the r4 fixed-64/256-bucket design measured
+    29.8×/38.5× at 10× rows). The one count() is a 1-value parameter
+    fetch. At the driver's gate scale (sf0.01: N=510) the config is
+    (planes=6, bands=5), which is exactly what the static SQL oracle
+    replays — tests/test_docs_sync.py pins that equivalence."""
+    from json_ld_spark.operators.dedup import (
+        embedding_neardup_pairs_banded,
+        neardup_lsh_config,
+        neardup_lsh_planes,
     )
-    return embedding_neardup_pairs(
-        bucketed, block_col="_lshb", threshold=0.5
+
+    corpus = _neardup_planted_corpus(spark, sf_dir)
+    n = corpus.count()
+    planes_per_band, n_bands = neardup_lsh_config(n)
+    planes = neardup_lsh_planes(planes_per_band, n_bands, _LSH_DIM)
+    return embedding_neardup_pairs_banded(
+        corpus, planes, threshold=threshold
     )
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-FREE embedding near-dup: blocking by MULTI-BAND sign-LSH
+    buckets — the realistic path at 100 TB (no labels exist). Same
+    planted positives as embedding_neardup; the literal per-band
+    plane matrices make bucketing — and therefore the whole candidate
+    set — reproducible by the SQL oracle. Bucket count scales with
+    corpus size and hot buckets are row-capped, so the per-bucket
+    self-join stays linear in N; the band count restores ≥0.9 recall
+    on the planted positives (measured 0.9 at sf0.01 and sf0.1). A
+    planted pair whose members collide in NO band is correctly absent
+    in both engines."""
+    return _neardup_banded_pairs(spark, sf_dir, threshold=0.5)
 
 
 def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,32 +409,14 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are planted near-dups (cosine ≥ 0.9), HARD negatives are
     same-bucket collisions that are dissimilar (cosine ≤ 0.3) — the
     confusable pairs a random negative sampler never finds. The
-    oracle replays bucketing, pair cosines, and both argmin
-    selections."""
-    from json_ld_spark.operators.dedup import embedding_neardup_pairs
+    oracle replays the multi-band bucketing (incl. the row cap), pair
+    cosines, and both argmin selections. Consumes the same
+    linear-at-scale banded candidate stream as embedding_neardup_lsh
+    (the r4 version inherited that path's quadratic blowup: 38.5× at
+    10× rows)."""
     from json_ld_spark.operators.kg_train import contrastive_pairs
-    from json_ld_spark.operators.similarity import sign_lsh_bucket_literal
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    planted = emb.filter(
-        F.col("vec_id") % _NEARDUP_PLANT_STRIDE == 0
-    ).select(
-        (F.col("vec_id") + _NEARDUP_PLANT_OFFSET).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * 0.9 + 0.05, 4).cast("float"),
-        ).alias("embedding"),
-    )
-    corpus = emb.select("vec_id", "embedding").unionByName(planted)
-    bucketed = corpus.withColumn(
-        "_lshb",
-        sign_lsh_bucket_literal(
-            F.col("embedding").cast("array<double>"), _lsh_planes()
-        ),
-    )
-    pairs = embedding_neardup_pairs(
-        bucketed, block_col="_lshb", threshold=-1.0
-    )
+    pairs = _neardup_banded_pairs(spark, sf_dir, threshold=-1.0)
     return contrastive_pairs(pairs, pos_threshold=0.9, neg_threshold=0.3)
 
 
@@ -1813,10 +1818,13 @@ _MD5H60 = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
 
 
 def _simhash_oracle_sql(shingle: int = 4, n_bits: int = 60,
-                        block_bits: int = 15, max_hamming: int = 16) -> str:
+                        block_bits: int = 15, max_hamming: int = 16,
+                        max_bucket: int = 64) -> str:
     """DuckDB twin of q_simhash_pairs: md5-prefix shingle hashes →
-    per-bit vote sums → 60-bit signature → 4×15-bit block banding →
-    Hamming filter. Bit-for-bit the Spark md5-family computation."""
+    per-bit vote sums → 60-bit signature → 4×15-bit block banding
+    (with the deterministic ``max_bucket`` row cap per block-bucket —
+    the hot-bucket skew guard) → Hamming filter. Bit-for-bit the
+    Spark md5-family computation."""
     h = _MD5H60.format(x=f"substring(lt, i, {shingle})")
     sig_terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, x -> "
@@ -1839,6 +1847,9 @@ def _simhash_oracle_sql(shingle: int = 4, n_bits: int = 60,
       SELECT doc_id, sh, t.b AS blk_i,
              (sh >> (t.b * {block_bits})) & {mask} AS key
       FROM sig, range(0, {n_blocks}) t(b)
+      QUALIFY row_number() OVER (
+        PARTITION BY blk_i, key ORDER BY doc_id
+      ) <= {max_bucket}
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
@@ -2021,6 +2032,86 @@ def _lsh_bucket_sql() -> str:
             f"THEN CAST({bit} AS BIGINT) ELSE 0 END)"
         )
     return " + ".join(bucket_terms)
+
+
+_NEARDUP_GATE_N = 510  # sf0.01 embeddings (500) + planted twins (10);
+# pinned by tests/test_docs_sync.py against the actual parquet so the
+# static oracle below always replays the config the adaptive Spark
+# path derives at the driver's gate scale.
+
+
+def _banded_bucket_sql(planes: "list[list[float]]") -> str:
+    """SQL twin of sign_lsh_bucket_literal for ONE band's literal
+    plane matrix over a double-list column ``v``."""
+    n = len(planes)
+    terms = []
+    for p, weights in enumerate(planes):
+        lit = "[" + ", ".join(f"{w:.1f}" for w in weights) + "]"
+        bit = 1 << (n - 1 - p)
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
+            f"THEN CAST({bit} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _neardup_banded_pairs_cte(max_bucket: int = 64) -> str:
+    """Shared DuckDB CTE chain (planted → corpus → e → bb → cand →
+    pairs) replaying embedding_neardup_pairs_banded at the gate
+    config neardup_lsh_config(_NEARDUP_GATE_N): per-band literal
+    plane buckets, the deterministic per-(band, bucket) row cap, the
+    distinct candidate self-join, and one 4-dp cosine per pair."""
+    from json_ld_spark.operators.dedup import (
+        neardup_lsh_config,
+        neardup_lsh_planes,
+    )
+
+    planes_per_band, n_bands = neardup_lsh_config(_NEARDUP_GATE_N)
+    bands = neardup_lsh_planes(planes_per_band, n_bands, _LSH_DIM)
+    union = "\n          UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_i, {_banded_bucket_sql(pl)} AS bkt FROM e"
+        for b, pl in enumerate(bands)
+    )
+    cos = (
+        "round(list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * "
+        "sqrt(list_dot_product(eb.v, eb.v))), 4)"
+    )
+    return f"""planted AS (
+          SELECT vec_id + {_NEARDUP_PLANT_OFFSET} AS vec_id,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 0.9 + 0.05, 4) AS FLOAT))
+                   AS embedding
+          FROM embeddings WHERE vec_id % {_NEARDUP_PLANT_STRIDE} = 0
+        ),
+        corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id, embedding FROM planted
+        ),
+        e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM corpus
+        ),
+        raw AS ({union}),
+        bb AS (
+          SELECT * FROM raw
+          QUALIFY row_number() OVER (
+            PARTITION BY band_i, bkt ORDER BY vec_id
+          ) <= {max_bucket}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bb a JOIN bb b
+            ON a.band_i = b.band_i AND a.bkt = b.bkt
+           AND a.vec_id < b.vec_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b, {cos} AS cosine
+          FROM cand
+          JOIN e ea ON ea.vec_id = cand.id_a
+          JOIN e eb ON eb.vec_id = cand.id_b
+        )"""
 
 
 def _lsh_oracle_sql() -> str:
@@ -3968,57 +4059,11 @@ def oracle_sql() -> dict[str, str]:
                sqrt(list_dot_product(b.v, b.v))), 4) >= 0.5
         """,
         "embedding_neardup_lsh": f"""
-        WITH planted AS (
-          SELECT vec_id + {_NEARDUP_PLANT_OFFSET} AS vec_id,
-                 list_transform(embedding, x ->
-                   CAST(round(CAST(x AS DOUBLE) * 0.9 + 0.05, 4) AS FLOAT))
-                   AS embedding
-          FROM embeddings WHERE vec_id % {_NEARDUP_PLANT_STRIDE} = 0
-        ),
-        corpus AS (
-          SELECT vec_id, embedding FROM embeddings
-          UNION ALL SELECT vec_id, embedding FROM planted
-        ),
-        e AS (
-          SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM corpus
-        ),
-        b AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bkt FROM e)
-        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-               round(list_dot_product(a.v, b2.v) /
-                     (sqrt(list_dot_product(a.v, a.v)) *
-                      sqrt(list_dot_product(b2.v, b2.v))), 4) AS cosine
-        FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
-        WHERE round(list_dot_product(a.v, b2.v) /
-              (sqrt(list_dot_product(a.v, a.v)) *
-               sqrt(list_dot_product(b2.v, b2.v))), 4) >= 0.5
+        WITH {_neardup_banded_pairs_cte()}
+        SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.5
         """,
         "contrastive_pairs": f"""
-        WITH planted AS (
-          SELECT vec_id + {_NEARDUP_PLANT_OFFSET} AS vec_id,
-                 list_transform(embedding, x ->
-                   CAST(round(CAST(x AS DOUBLE) * 0.9 + 0.05, 4) AS FLOAT))
-                   AS embedding
-          FROM embeddings WHERE vec_id % {_NEARDUP_PLANT_STRIDE} = 0
-        ),
-        corpus AS (
-          SELECT vec_id, embedding FROM embeddings
-          UNION ALL SELECT vec_id, embedding FROM planted
-        ),
-        e AS (
-          SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM corpus
-        ),
-        b AS (SELECT vec_id, v, {{bkt}} AS bkt FROM e),
-        pairs AS (
-          SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-                 round(list_dot_product(a.v, b2.v) /
-                       (sqrt(list_dot_product(a.v, a.v)) *
-                        sqrt(list_dot_product(b2.v, b2.v))), 4) AS cosine
-          FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
-        ),
+        WITH {_neardup_banded_pairs_cte()},
         sym AS (
           SELECT id_a AS anchor, id_b AS other, cosine FROM pairs
           UNION ALL
@@ -4037,7 +4082,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT anchor AS anchor_id, pos_id, neg_id,
                pos_cosine, neg_cosine
         FROM pos JOIN neg USING (anchor)
-        """.replace("{bkt}", _lsh_bucket_sql()),
+        """,
         "simhash_pairs": _simhash_oracle_sql(),
         "minhash_components": _minhash_oracle_sql(),
         "ann_lsh_topk": _lsh_oracle_sql(),

@@ -169,27 +169,100 @@ def simhash64(text_col, shingle: int = 4):
     return simhash_sig(text_col, shingle=shingle, n_bits=64)
 
 
+def simhash_sig_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 4,
+    n_bits: int = 64,
+    hash_fn=None,
+) -> DataFrame:
+    """(_id, _sh): SimHash signatures as an EXPLODED-ROWS aggregation —
+    the corpus-scale form of simhash_sig.
+
+    The expression form (simhash_sig) folds an interpreted HOF
+    accumulator over every shingle: ~n_bits interpreted lambda ops per
+    shingle, measured 68 s for 50k docs at sf1 — it was the dominant
+    term of the whole simhash query. This form stays inside
+    whole-stage codegen: explode shingles to rows, hash per row, and
+    take 32 PACKED bit-count sums per document (two 32-bit lanes per
+    long: lane b counts bit b, its high lane counts bit b+32 — lanes
+    cannot carry into each other below 2^31 shingles/doc). One
+    map-side-combined shuffle on the id; same signature bit-for-bit
+    (sig bit b = ones_b·2 > n, identical to the ±1 vote sign).
+    Measured 68 s → ~2 s on the same corpus."""
+    lane = 0x0000000100000001
+    h_fn = hash_fn or (lambda s: F.xxhash64(s))
+    rows = docs.select(
+        F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt")
+    ).select(
+        "_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("_lt") - (shingle - 1), F.lit(1))
+            )
+        ).alias("_i"),
+        "_lt",
+    ).select(
+        "_id", h_fn(F.col("_lt").substr(F.col("_i"), F.lit(shingle))).alias("_h")
+    )
+    lanes = rows.groupBy("_id").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(lane))).alias(f"_s{b}")
+            for b in range(32)
+        ],
+    )
+
+    def ones(b: int):
+        s = F.col(f"_s{b & 31}")
+        if b >= 32:
+            s = F.shiftrightunsigned(s, 32)
+        return s.bitwiseAND(F.lit(0xFFFFFFFF))
+
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        m = (1 << b) if b < 63 else -(1 << 63)
+        sig = sig + F.when(
+            ones(b) * 2 > F.col("_n"), F.lit(m).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return lanes.select("_id", sig.alias("_sh"))
+
+
 def simhash_neardup_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     block_bits: int = 16, hash_family: str = "xxhash64",
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Candidate pairs whose SimHash agrees on at least one block
     (standard Hamming-LSH banding: 4 blocks of signature bits).
 
     hash_family "md5" switches to the 60-bit md5-prefix family
     (md5_hash60) with 4×15-bit blocks — same algorithm, reproducible
-    by the DuckDB oracle bit-for-bit."""
+    by the DuckDB oracle bit-for-bit.
+
+    ``max_bucket`` caps rows per (block, key) bucket — the same skew
+    guard minhash_candidate_pairs uses. A cluster of k near-identical
+    documents lands k rows in the same block-bucket and k² candidate
+    pairs; at corpus scale that is THE scale killer (the r4 sf1 sweep
+    measured 11.5× growth at 10× rows from exactly this). The cap is
+    deterministic (row_number by id), so the SQL oracle replays it;
+    pairs inside an over-full bucket beyond the cap are dropped — by
+    construction those are near-identical clusters that exact /
+    minhash dedup already collapses."""
     if hash_family == "md5":
         n_bits, block_bits = 60, 15
-        sig_col = simhash_sig(
-            F.col("_lt"), n_bits=n_bits, hash_fn=md5_hash60, pre_lowered=True
+        sig = simhash_sig_table(
+            docs, id_col, text_col, n_bits=n_bits, hash_fn=md5_hash60
         )
     else:
         n_bits = 64
-        sig_col = simhash_sig(F.col("_lt"), pre_lowered=True)
-    sig = docs.select(
-        F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt")
-    ).select("_id", sig_col.alias("_sh"))
+        sig = simhash_sig_table(docs, id_col, text_col)
+    # materialize the signature BEFORE posexplode: generator inputs
+    # are inlined through collapsed projections, so exploding over
+    # expressions of _sh would re-evaluate the signature per
+    # generated row
+    sig = sig.localCheckpoint()
     mask = (1 << block_bits) - 1
     blocked = sig.select(
         "_id",
@@ -203,8 +276,18 @@ def simhash_neardup_pairs(
             )
         ).alias("_blk", "_key"),
     )
-    # materialize: the SimHash aggregate is the dominant cost and the
-    # self-join would otherwise evaluate it twice
+    # bound bucket size (skew guard, deterministic: keep the
+    # max_bucket smallest ids per block-bucket)
+    w_bucket = F.row_number().over(
+        Window.partitionBy("_blk", "_key").orderBy("_id")
+    )
+    blocked = (
+        blocked.withColumn("_rn", w_bucket)
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    # materialize: the self-join would otherwise re-run the explode +
+    # cap window once per side
     blocked = blocked.localCheckpoint()
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
@@ -346,6 +429,142 @@ def embedding_neardup_pairs(
             F.round(
                 dot(F.col("a._v"), F.col("b._v"))
                 / (F.col("a._norm") * F.col("b._norm")),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def neardup_lsh_config(
+    n_vectors: int,
+    target_bucket: int = 8,
+    recall: float = 0.9,
+    p_agree: float = 0.86,
+    min_planes: int = 6,
+    max_planes: int = 16,
+) -> "tuple[int, int]":
+    """(planes_per_band, n_bands) for banded sign-LSH near-dup
+    blocking, sized to the corpus.
+
+    The r4 design had a CONSTANT bucket count (2^6–2^8), so the
+    per-bucket self-join cost Σ bucket² = O(N²/2^planes) — measured
+    29.8×/38.5× growth at 10× rows in the sf1 sweep. Fix: bucket
+    count scales with N (planes ≈ log2(N / target_bucket), so mean
+    occupancy stays ~target_bucket and Σ bucket² stays O(N)), and the
+    band count keeps recall: a pair at the design similarity (cosine
+    0.9 → per-plane sign-agreement p = 1 − θ/π ≈ 0.86) collides in
+    one band w.p. p^planes, so bands = ⌈ln(1−recall)/ln(1−p^planes)⌉
+    restores ≥``recall`` end-to-end (measured 0.9 on the planted
+    positives at sf0.01 AND sf0.1 — tests/test_operators.py).
+
+    max_planes=16 bounds the AND-width (beyond it the band count for
+    fixed recall explodes ~1/p^planes); past 2^16 buckets the
+    per-bucket row cap in embedding_neardup_pairs_banded takes over
+    as the scale bound, keeping candidates ≤ cap·N·bands — linear."""
+    import math
+
+    planes = min(
+        max_planes,
+        max(min_planes, math.ceil(math.log2(max(n_vectors, 2) / target_bucket))),
+    )
+    collide = p_agree ** planes
+    bands = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - collide)))
+    return planes, bands
+
+
+def neardup_lsh_planes(
+    planes_per_band: int, n_bands: int, dim: int, seed0: int = 100
+) -> "list[list[list[float]]]":
+    """One deterministic literal ±1 plane matrix per band (seeds
+    seed0, seed0+1, …) — data-independent constants, reproducible by
+    any engine (similarity.plane_matrix)."""
+    from json_ld_spark.operators.similarity import plane_matrix
+
+    return [
+        plane_matrix(planes_per_band, dim, seed=seed0 + b)
+        for b in range(n_bands)
+    ]
+
+
+def embedding_neardup_pairs_banded(
+    embeddings: DataFrame,
+    planes_bands: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, cosine): near-duplicate vectors via multi-band
+    sign-LSH blocking — the label-free path that holds at corpus
+    scale. ``planes_bands`` is one literal plane matrix per band
+    (neardup_lsh_planes, sized by neardup_lsh_config).
+
+    Plan shape (all JVM expressions, no Python):
+      1. one projection computes every band's bucket id per vector
+         (posexplode of the per-band bucket array — vectors are read
+         once);
+      2. per-(band, bucket) row cap (row_number by id, deterministic,
+         oracle-replayable) bounds hot buckets: candidates are
+         ≤ max_bucket · N · bands — linear in N;
+      3. the self-join is per (band, bucket) on an id-only relation
+         (vectors never ride the candidate shuffle);
+      4. distinct pairs re-join the staged (vector, norm) relation for
+         ONE cosine evaluation per pair."""
+    from json_ld_spark.functions.columns import dot, l2_norm
+    from json_ld_spark.operators.similarity import sign_lsh_bucket_literal
+
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_norm", l2_norm(F.col("_v"))).localCheckpoint()
+    vecs = F.col("_v").cast("array<double>")
+    banded = e.select(
+        "_id",
+        F.posexplode(
+            F.array(*[
+                sign_lsh_bucket_literal(vecs, planes)
+                for planes in planes_bands
+            ])
+        ).alias("_band", "_bkt"),
+    )
+    w_bucket = F.row_number().over(
+        Window.partitionBy("_band", "_bkt").orderBy("_id")
+    )
+    banded = (
+        banded.withColumn("_rn", w_bucket)
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+        .localCheckpoint()  # bucket ids are the dominant cost; the
+        # self-join must not recompute them per side
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bkt") == F.col("b._bkt"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates()
+    )
+    va = e.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    vb = e.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
                 4,
             ).alias("cosine"),
         )
