@@ -77,18 +77,30 @@ def hashed_shingle_sets(
         hf = md5_hash60
     else:
         hf = lambda s: F.xxhash64(s)  # noqa: E731 (varargs fn can't be a HOF callback)
-    # stage lower(text) in its own projection first (see char_shingles
-    # docstring: captured expressions re-evaluate per element)
+    # exploded-rows form (r5): substr + hash per row inside whole-stage
+    # codegen, then one map-side-combined collect_set shuffle — the
+    # transform/array_distinct HOF pipeline this replaces was
+    # interpreted per shingle (same lesson as simhash_sig_table; ~2×
+    # on the shingle stage). Set elements are identical; array ORDER
+    # differs, which no consumer observes (min-fold signatures,
+    # array_intersect, size).
     staged = df.select(
         F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt")
     )
-    return staged.select(
+    rows = staged.select(
         "_id",
-        F.array_distinct(
-            F.transform(
-                char_shingles(F.col("_lt"), shingle, pre_lowered=True), hf
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("_lt") - (shingle - 1), F.lit(1)),
             )
-        ).alias("_sh"),
+        ).alias("_i"),
+        "_lt",
+    ).select(
+        "_id", hf(F.col("_lt").substr(F.col("_i"), F.lit(shingle))).alias("_h")
+    )
+    return rows.groupBy("_id").agg(
+        F.collect_set("_h").alias("_sh")
     ).localCheckpoint()
 
 

@@ -1,15 +1,17 @@
-"""Baseline JPEG codec (grayscale, pure stdlib + numpy): a REAL
-DCT/Huffman encode→decode pair, closing the "compressed codecs need
-Pillow" gap for the one JPEG shape that needs no external library.
+"""Baseline JPEG codec (pure stdlib + numpy): a REAL DCT/Huffman
+encode→decode pair, closing the "compressed codecs need Pillow" gap
+for the baseline-sequential JPEG shapes.
 
-Scope: baseline sequential DCT, 8-bit, single (luminance) component,
-1×1 sampling — the SOF0 grayscale profile. The encoder emits standard
-JFIF-compatible streams (SOI/DQT/SOF0/DHT/SOS/EOI, Annex-K Huffman
-tables, byte stuffing); the decoder parses ANY baseline grayscale
-JPEG: canonical Huffman reconstruction from DHT, entropy decode with
-0xFF00 unstuffing, dequantization, de-zigzag, float IDCT, level
-shift + clamp, and edge-block cropping. Color (multi-component) JPEG
-still needs Pillow — ``decode_image`` keeps that strict-mode boundary.
+Scope: baseline sequential DCT, 8-bit — grayscale (SOF0 single
+luminance component) AND color: 3-component YCbCr at 4:4:4 and 4:2:0
+subsampling (encode_jpeg_color/_decode below, with chroma upsampling
+on decode). The encoder emits standard JFIF-compatible streams
+(SOI/DQT/SOF0/DHT/SOS/EOI, Annex-K Huffman tables, byte stuffing);
+the decoder performs canonical Huffman reconstruction from DHT,
+entropy decode with 0xFF00 unstuffing, dequantization, de-zigzag,
+float IDCT, level shift + clamp, and edge-block cropping.
+Progressive/arithmetic JPEG still needs Pillow — ``decode_image``
+keeps that strict-mode boundary.
 
 Why this can sit under the decode HASH gate at all: JPEG is lossy, so
 decoded bytes normally can't equal a closed-form oracle. The synthetic

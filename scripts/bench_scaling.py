@@ -44,21 +44,49 @@ def run_pinned(cpus: int, n_convs: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def run_pinned_clean(cpus: int, n_convs: int, max_tries: int = 3,
+                     steal_cap: float = 1.0) -> dict:
+    """run_pinned, retried until the best rep ran ≈steal-free (the
+    validity rule the clean 2→8 pair used): a leg whose minimum-wall
+    rep still saw ≥``steal_cap``% host steal is a contaminated
+    measurement, not evidence about the plan."""
+    best = None
+    for _ in range(max_tries):
+        r = run_pinned(cpus, n_convs)
+        if best is None or (r.get("min_rep_steal_pct") or 0) < (
+            best.get("min_rep_steal_pct") or 0
+        ):
+            best = r
+        if (r.get("min_rep_steal_pct") or 0) < steal_cap:
+            return r
+    return best
+
+
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     robust_convs = int(sys.argv[2]) if len(sys.argv) > 2 else n_convs * 2
-    r = {c: run_pinned(c, n_convs) for c in (2, 8, 32)}
+    r = {c: run_pinned_clean(c, n_convs) for c in (2, 8, 32)}
+    # upper N→4N pair (cores 4→16) at a 2× corpus so the 16-core leg
+    # is not latency-bound; retried until both legs' best reps are
+    # ≈steal-free — r4's 8→32=0.559 was measured at 9–10% steal and
+    # was a host artifact, not a plan property
+    up = {c: run_pinned_clean(c, robust_convs) for c in (4, 16)}
     eff_2_8 = round(r[8]["triples_per_sec"] / (4 * r[2]["triples_per_sec"]), 3)
     eff_8_32 = round(r[32]["triples_per_sec"] / (4 * r[8]["triples_per_sec"]), 3)
+    eff_4_16 = round(
+        up[16]["triples_per_sec"] / (4 * up[4]["triples_per_sec"]), 3
+    )
     # corpus-size robustness: the SAME 2→8 pair at a 2× corpus — the
     # efficiency claim must not be an artifact of the corpus size the
     # headline happens to use (advice r2)
-    rb = {c: run_pinned(c, robust_convs) for c in (2, 8)}
+    rb = {c: run_pinned_clean(c, robust_convs) for c in (2, 8)}
     eff_rb = round(rb[8]["triples_per_sec"] / (4 * rb[2]["triples_per_sec"]), 3)
     result = {
         "runs": r,
         "scaling_efficiency_N4N": eff_2_8,
         "scaling_efficiency_8_32": eff_8_32,
+        "upper_runs": up,
+        "scaling_efficiency_4_16": eff_4_16,
         "robust_runs": rb,
         "robust_efficiency_N4N": eff_rb,
     }
@@ -138,6 +166,19 @@ clean measurement only when BOTH legs' best rep ran ≈steal-free.
 **Headline N→4N efficiency = {max(eff_2_8, eff_rb)}** — the cleaner
 of the two measured pairs (see the robustness pair below; BASELINE.json
 target ≥ 0.8: {"met" if max(eff_2_8, eff_rb) >= 0.8 else "NOT met"}).
+
+## Upper N→4N pair (cores 4→16)
+
+The N→4N criterion applied one level up, at a
+{robust_convs // n_convs}× corpus ({up[4]['turns']} turns), both legs
+retried until the best rep ran ≈steal-free: efficiency **{eff_4_16}**
+(target ≥ 0.8: {"met" if eff_4_16 >= 0.8 else "NOT met"}). This is the
+pair r4 could not close — its 8→32 = 0.559 was measured at 9–10% host
+steal.
+
+| parallelism | pinned cores | turns | triples | wall (s) | triples/sec | turns/sec | min-rep steal% |
+|---|---|---|---|---|---|---|---|
+{table(up, (4, 16))}
 
 ## Corpus-size robustness
 
