@@ -77,13 +77,21 @@ def hashed_shingle_sets(
         hf = md5_hash60
     else:
         hf = lambda s: F.xxhash64(s)  # noqa: E731 (varargs fn can't be a HOF callback)
-    # exploded-rows form (r5): substr + hash per row inside whole-stage
-    # codegen, then one map-side-combined collect_set shuffle — the
-    # transform/array_distinct HOF pipeline this replaces was
-    # interpreted per shingle (same lesson as simhash_sig_table; ~2×
-    # on the shingle stage). Set elements are identical; array ORDER
-    # differs, which no consumer observes (min-fold signatures,
-    # array_intersect, size).
+    # Exploded-rows aggregation (r5): substr+hash per row in codegen,
+    # one map-side-combined collect_set shuffle keyed on the id. Two
+    # reasons, both A/B-measured at sf1:
+    #  (a) the shuffle REBALANCES: a compact parquet corpus scans as
+    #      1-2 splits, and the zero-shuffle HOF form pins the shingle
+    #      pass AND every checkpoint-downstream consumer to those few
+    #      partitions — full minhash pipeline 57.0 s (md5) / 42.1 s
+    #      (xxh) vs 40.7 / 27.2 s with this form (32 cores). On a
+    #      real cluster the scan has thousands of splits, but the
+    #      aggregated layout is correct in both regimes;
+    #  (b) what shuffles is hashed longs after partial aggregation,
+    #      never text bodies.
+    # Set elements are identical to array_distinct(transform(...));
+    # only array order differs, which no consumer observes (min-fold
+    # signatures, array_intersect, size).
     staged = df.select(
         F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt")
     )

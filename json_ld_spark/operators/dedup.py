@@ -516,7 +516,16 @@ def embedding_neardup_pairs_banded(
 
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).withColumn("_norm", l2_norm(F.col("_v"))).localCheckpoint()
+    )
+    # scan-granularity guard: a compact parquet corpus arrives as 1-2
+    # splits, which would pin the bucket computation (bands × planes
+    # × dim flops per vector — the dominant cost) to as many cores.
+    # The rebalance ships only (id, vector) rows; skipped when the
+    # scan already has enough splits (the real-cluster case).
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < target:
+        e = e.repartition(target)
+    e = e.withColumn("_norm", l2_norm(F.col("_v"))).localCheckpoint()
     vecs = F.col("_v").cast("array<double>")
     banded = e.select(
         "_id",

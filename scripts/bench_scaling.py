@@ -66,11 +66,13 @@ def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     robust_convs = int(sys.argv[2]) if len(sys.argv) > 2 else n_convs * 2
     r = {c: run_pinned_clean(c, n_convs) for c in (2, 8, 32)}
-    # upper N→4N pair (cores 4→16) at a 2× corpus so the 16-core leg
-    # is not latency-bound; retried until both legs' best reps are
-    # ≈steal-free — r4's 8→32=0.559 was measured at 9–10% steal and
-    # was a host artifact, not a plan property
-    up = {c: run_pinned_clean(c, robust_convs) for c in (4, 16)}
+    # upper N→4N pair (cores 4→16) at a 4× corpus so the 16-core leg
+    # is not latency-bound (at 2×, the 16-core wall is ~6.7 s — fixed
+    # stage latency eats the gain and the pair reads 0.792; at 4× the
+    # wall is ~11.6 s and the same pair reads 0.841); retried until
+    # both legs' best reps are ≈steal-free — r4's 8→32=0.559 was
+    # measured at 9–10% steal and was a host artifact
+    up = {c: run_pinned_clean(c, n_convs * 4) for c in (4, 16)}
     eff_2_8 = round(r[8]["triples_per_sec"] / (4 * r[2]["triples_per_sec"]), 3)
     eff_8_32 = round(r[32]["triples_per_sec"] / (4 * r[8]["triples_per_sec"]), 3)
     eff_4_16 = round(
@@ -160,12 +162,14 @@ speedups; same-policy comparisons start at BENCH_r02.
 |---|---|---|---|---|---|---|---|
 {table(r, (2, 8, 32))}
 
-Raw-pair efficiency N→4N (cores 2→8): tp_8 / (4 × tp_2) = {eff_2_8}.
-The steal%% column is the validity marker for each leg: a pair is a
-clean measurement only when BOTH legs' best rep ran ≈steal-free.
-**Headline N→4N efficiency = {max(eff_2_8, eff_rb)}** — the cleaner
-of the two measured pairs (see the robustness pair below; BASELINE.json
-target ≥ 0.8: {"met" if max(eff_2_8, eff_rb) >= 0.8 else "NOT met"}).
+**Headline N→4N efficiency (cores 2→8): tp_8 / (4 × tp_2) =
+{eff_2_8}** (BASELINE.json target ≥ 0.8:
+{"met" if eff_2_8 >= 0.8 else "NOT met"}). The steal% column is the
+validity marker for each leg: a pair is a clean measurement only when
+BOTH legs' best rep ran ≈steal-free. The corpus-size robustness pair
+below re-measures the same cores at a 2× corpus; an efficiency above
+1.0 there means the small leg got slower (per-core cache pressure at
+the larger input), not that the big leg got faster than linear.
 
 ## Upper N→4N pair (cores 4→16)
 
