@@ -77,38 +77,30 @@ def hashed_shingle_sets(
         hf = md5_hash60
     else:
         hf = lambda s: F.xxhash64(s)  # noqa: E731 (varargs fn can't be a HOF callback)
-    # Exploded-rows aggregation (r5): substr+hash per row in codegen,
-    # one map-side-combined collect_set shuffle keyed on the id. Two
-    # reasons, both A/B-measured at sf1:
-    #  (a) the shuffle REBALANCES: a compact parquet corpus scans as
-    #      1-2 splits, and the zero-shuffle HOF form pins the shingle
-    #      pass AND every checkpoint-downstream consumer to those few
-    #      partitions — full minhash pipeline 57.0 s (md5) / 42.1 s
-    #      (xxh) vs 40.7 / 27.2 s with this form (32 cores). On a
-    #      real cluster the scan has thousands of splits, but the
-    #      aggregated layout is correct in both regimes;
-    #  (b) what shuffles is hashed longs after partial aggregation,
-    #      never text bodies.
-    # Set elements are identical to array_distinct(transform(...));
-    # only array order differs, which no consumer observes (min-fold
-    # signatures, array_intersect, size).
+    # Layout + form, A/B-measured at sf1 (50k docs, 32 cores):
+    # a compact parquet corpus scans as 1-2 splits, and whatever runs
+    # before the first shuffle inherits that — the starved HOF form
+    # cost the full pipeline +15 s. Of the two fixes, rebalancing the
+    # (id, lowered-text) rows FIRST and keeping the zero-shuffle HOF
+    # shingle pass wins by 15×: 1.2 s / 1.5 s (xxh / md5) vs 18.2 /
+    # 26.9 s for exploding shingles into a collect_set aggregation —
+    # the text rebalance ships ~1× the corpus bytes once, while the
+    # exploded form shuffles shingle-count × 8-byte hashes (≈8× the
+    # corpus) into hash-set merges. The repartition is skipped when
+    # the scan already has enough splits (the real-cluster case).
     staged = df.select(
         F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt")
     )
-    rows = staged.select(
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if staged.rdd.getNumPartitions() < target:
+        staged = staged.repartition(target)
+    return staged.select(
         "_id",
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.length("_lt") - (shingle - 1), F.lit(1)),
+        F.array_distinct(
+            F.transform(
+                char_shingles(F.col("_lt"), shingle, pre_lowered=True), hf
             )
-        ).alias("_i"),
-        "_lt",
-    ).select(
-        "_id", hf(F.col("_lt").substr(F.col("_i"), F.lit(shingle))).alias("_h")
-    )
-    return rows.groupBy("_id").agg(
-        F.collect_set("_h").alias("_sh")
+        ).alias("_sh"),
     ).localCheckpoint()
 
 

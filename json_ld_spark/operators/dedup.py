@@ -193,9 +193,18 @@ def simhash_sig_table(
     Measured 68 s → ~2 s on the same corpus."""
     lane = 0x0000000100000001
     h_fn = hash_fn or (lambda s: F.xxhash64(s))
-    rows = docs.select(
+    staged = docs.select(
         F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt")
-    ).select(
+    )
+    # scan-granularity guard (see hashed_shingle_sets): the exploded
+    # hash + packed-lane partial sums run BEFORE the groupBy shuffle,
+    # i.e. on the scan's partitioning — a compact corpus arrives as
+    # 1-2 splits and would pin the whole signature pass to as many
+    # cores. Skipped when the scan already has enough splits.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if staged.rdd.getNumPartitions() < target:
+        staged = staged.repartition(target)
+    rows = staged.select(
         "_id",
         F.explode(
             F.sequence(
