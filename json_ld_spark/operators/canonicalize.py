@@ -88,12 +88,11 @@ def hashed_shingle_sets(
     # exploded form shuffles shingle-count × 8-byte hashes (≈8× the
     # corpus) into hash-set merges. The repartition is skipped when
     # the scan already has enough splits (the real-cluster case).
-    staged = df.select(
+    from json_ld_spark.plans.layout import rebalance_scan
+
+    staged = rebalance_scan(df.select(
         F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt")
-    )
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if staged.rdd.getNumPartitions() < target:
-        staged = staged.repartition(target)
+    ))
     return staged.select(
         "_id",
         F.array_distinct(

@@ -193,17 +193,14 @@ def simhash_sig_table(
     Measured 68 s → ~2 s on the same corpus."""
     lane = 0x0000000100000001
     h_fn = hash_fn or (lambda s: F.xxhash64(s))
-    staged = docs.select(
+    from json_ld_spark.plans.layout import rebalance_scan
+
+    # scan-granularity guard: the exploded hash + packed-lane partial
+    # sums run BEFORE the groupBy shuffle, i.e. on the scan's
+    # partitioning (plans/layout.py)
+    staged = rebalance_scan(docs.select(
         F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt")
-    )
-    # scan-granularity guard (see hashed_shingle_sets): the exploded
-    # hash + packed-lane partial sums run BEFORE the groupBy shuffle,
-    # i.e. on the scan's partitioning — a compact corpus arrives as
-    # 1-2 splits and would pin the whole signature pass to as many
-    # cores. Skipped when the scan already has enough splits.
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if staged.rdd.getNumPartitions() < target:
-        staged = staged.repartition(target)
+    ))
     rows = staged.select(
         "_id",
         F.explode(
@@ -523,18 +520,14 @@ def embedding_neardup_pairs_banded(
     from json_ld_spark.functions.columns import dot, l2_norm
     from json_ld_spark.operators.similarity import sign_lsh_bucket_literal
 
-    e = embeddings.select(
+    from json_ld_spark.plans.layout import rebalance_scan
+
+    # scan-granularity guard: the bucket computation (bands × planes
+    # × dim flops per vector) is the dominant cost and must not run
+    # at a compact scan's 1-2 splits (plans/layout.py)
+    e = rebalance_scan(embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    )
-    # scan-granularity guard: a compact parquet corpus arrives as 1-2
-    # splits, which would pin the bucket computation (bands × planes
-    # × dim flops per vector — the dominant cost) to as many cores.
-    # The rebalance ships only (id, vector) rows; skipped when the
-    # scan already has enough splits (the real-cluster case).
-    target = embeddings.sparkSession.sparkContext.defaultParallelism
-    if e.rdd.getNumPartitions() < target:
-        e = e.repartition(target)
-    e = e.withColumn("_norm", l2_norm(F.col("_v"))).localCheckpoint()
+    )).withColumn("_norm", l2_norm(F.col("_v"))).localCheckpoint()
     vecs = F.col("_v").cast("array<double>")
     banded = e.select(
         "_id",

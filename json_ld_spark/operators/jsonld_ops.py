@@ -466,8 +466,14 @@ def expand_documents(
                 columns=["doc_id", "expanded_json", "error_code", "error_msg"],
             )
 
-    return docs.select(
-        F.col(id_col).alias(id_col), F.col(json_col).alias(json_col)
+    from json_ld_spark.plans.layout import rebalance_scan
+
+    # the Python expansion is the dominant per-row cost; don't let a
+    # compact scan's 1-2 splits serialize it (plans/layout.py)
+    return rebalance_scan(
+        docs.select(
+            F.col(id_col).alias(id_col), F.col(json_col).alias(json_col)
+        )
     ).mapInPandas(_expand, schema=EXPAND_SCHEMA)
 
 
