@@ -61,11 +61,16 @@ def exact_dedup_keep_best(
     actually wants: the cleanest copy of each duplicated document, not
     the lowest id. Same single shuffle as exact_dedup (the fingerprint
     partition); the score is a JVM expression evaluated pre-shuffle."""
+    from json_ld_spark.plans.layout import rebalance_scan
+
     w = Window.partitionBy(fingerprint_md5(F.col(text_col))).orderBy(
         F.desc("_score"), F.col(id_col)
     )
+    # the score expression (quality stats over the text) evaluates
+    # BEFORE the window exchange — rebalance so it is not pinned to a
+    # compact scan's splits (plans/layout.py; no-op on real scans)
     return (
-        docs.withColumn("_score", score_col)
+        rebalance_scan(docs).withColumn("_score", score_col)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_score")
@@ -345,11 +350,15 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     )
+    from json_ld_spark.plans.layout import rebalance_scan
+
     # staged projections: words once, then grams once; `_blk` derives
-    # from the gram alias so nothing expensive evaluates twice per row
-    g = docs.select(
+    # from the gram alias so nothing expensive evaluates twice per row.
+    # Rebalanced first: gram construction is the heavy per-row stage
+    # and must not run at a compact scan's 1-2 splits (plans/layout.py)
+    g = rebalance_scan(docs.select(
         F.col(id_col).alias("_id"), F.split(norm, " ").alias("_words")
-    ).select(F.col("_id"), grams.alias("_grams")).select(
+    )).select(F.col("_id"), grams.alias("_grams")).select(
         "_id",
         "_grams",
         F.size("_grams").alias("_n"),
@@ -418,14 +427,18 @@ def embedding_neardup_pairs(
     per-bucket, so cost is Σ bucket² not N²."""
     from json_ld_spark.functions.columns import dot, l2_norm
 
+    from json_ld_spark.plans.layout import rebalance_scan
+
     # per-vector norms staged BEFORE the pair join: cosine then costs
     # one aggregate per pair (the dot product) instead of three —
     # Σ bucket² pairs each re-deriving both norms was 2/3 of the CPU.
     # Identical IEEE result: same operands, same order, sqrt hoisted.
-    e = embeddings.select(
+    # Rebalanced so the staging (and the join probe build) is not
+    # pinned to a compact scan's splits (plans/layout.py).
+    e = rebalance_scan(embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         F.col(block_col).alias("_b"),
-    ).withColumn("_norm", l2_norm(F.col("_v"))).localCheckpoint()
+    )).withColumn("_norm", l2_norm(F.col("_v"))).localCheckpoint()
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id")))

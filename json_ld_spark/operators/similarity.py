@@ -288,11 +288,17 @@ def train_ivf_codebook(
     doubles) so lineage stays flat across iterations. At 100-TB scale
     train on a sample — the codebook only routes; assignment of the
     full corpus is the one big pass."""
+    from json_ld_spark.plans.layout import rebalance_scan
+
     rounded = lambda c: F.transform(c, lambda x: F.round(x, round_dp))  # noqa: E731
     # materialize the training input once: every Lloyd iteration scans
     # it (assignment cross join), and without this each iteration
-    # re-runs the upstream read/cast pipeline
-    embeddings = embeddings.select(id_col, vec_col).localCheckpoint()
+    # re-runs the upstream read/cast pipeline. Rebalanced first: the
+    # per-iteration assignment (C cosines per vector, pre-aggregation)
+    # runs at this frame's partitioning (plans/layout.py).
+    embeddings = rebalance_scan(
+        embeddings.select(id_col, vec_col)
+    ).localCheckpoint()
     cents = build_ivf_centroids(
         embeddings, n_centroids, id_col, vec_col, dim
     ).select("centroid_id", rounded(F.col("centroid")).alias("centroid"),
