@@ -2992,7 +2992,17 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     num_hashes, bands = 32, 8
     rows_per_band = num_hashes // bands
     affine = minhash_affine(num_hashes)
-    s1 = stream.select("doc_id", F.lower(F.col("text")).alias("_lt"))
+    par = spark.sparkContext.defaultParallelism
+    # each micro-batch is ONE file = one input partition, and chained
+    # projections collapse (the signature fold would capture the whole
+    # shingle expression, the 8 band buckets the whole fold). The two
+    # intra-batch repartitions rebalance every batch across the cores
+    # AND materialize the staged column at each boundary — the
+    # streaming analog of the batch path's localCheckpoints. They ship
+    # (id, shingle-hash array) and (id, 32-long signature) rows only.
+    s1 = stream.repartition(par, "doc_id").select(
+        "doc_id", F.lower(F.col("text")).alias("_lt")
+    )
     s2 = s1.select(
         "doc_id",
         F.array_distinct(
@@ -3001,13 +3011,13 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 md5_hash60,
             )
         ).alias("_sh"),
-    )
+    ).repartition(par, "doc_id")
     s3 = s2.select(
         "doc_id",
         minhash_signature(F.col("_sh"), num_hashes, affine=affine).alias(
             "_sig"
         ),
-    )
+    ).repartition(par, "doc_id")
 
     def band_bucket(i: int):
         return F.md5(F.concat_ws(
