@@ -373,7 +373,8 @@ def _neardup_banded_pairs(
     29.8×/38.5× at 10× rows). The one count() is a 1-value parameter
     fetch. At the driver's gate scale (sf0.01: N=510) the config is
     (planes=6, bands=5), which is exactly what the static SQL oracle
-    replays — tests/test_docs_sync.py pins that equivalence."""
+    replays — tests/test_oracle_parity.py::test_neardup_gate_config_pin
+    pins that equivalence against the actual parquet."""
     from json_ld_spark.operators.dedup import (
         embedding_neardup_pairs_banded,
         neardup_lsh_config,
@@ -2035,9 +2036,10 @@ def _lsh_bucket_sql() -> str:
 
 
 _NEARDUP_GATE_N = 510  # sf0.01 embeddings (500) + planted twins (10);
-# pinned by tests/test_docs_sync.py against the actual parquet so the
-# static oracle below always replays the config the adaptive Spark
-# path derives at the driver's gate scale.
+# pinned by tests/test_oracle_parity.py::test_neardup_gate_config_pin
+# against the actual parquet so the static oracle below always replays
+# the config the adaptive Spark path derives at the driver's gate
+# scale.
 
 
 def _banded_bucket_sql(planes: "list[list[float]]") -> str:

@@ -111,3 +111,24 @@ def test_every_query_has_oracle_and_docs():
     survey = open("SURVEY.md").read()
     missing = sorted(q for q in qs if q not in survey)
     assert not missing, f"queries not documented in SURVEY.md: {missing}"
+
+
+def test_neardup_gate_config_pin():
+    """_NEARDUP_GATE_N (the corpus size whose adaptive LSH config the
+    static SQL oracle replays) must equal the ACTUAL sf0.01 gate
+    corpus: embeddings rows + planted twins. If the driver testdata
+    ever changes shape, this fails before the oracle silently
+    diverges from the Spark path's corpus-derived config."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    n_emb, n_planted = duckdb.sql(
+        "SELECT count(*),"
+        f"       sum(CASE WHEN vec_id % {E._NEARDUP_PLANT_STRIDE} = 0"
+        "                 THEN 1 ELSE 0 END)"
+        " FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    ).fetchone()
+    assert E._NEARDUP_GATE_N == n_emb + n_planted, (
+        E._NEARDUP_GATE_N, n_emb, n_planted
+    )
