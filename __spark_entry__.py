@@ -2728,6 +2728,69 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RETRIEVAL_QUERIES = [
+    (1, "spark join hash"),
+    (2, "stream window batch"),
+    (3, "table scan filter"),
+    (4, "merge sort order"),
+    (5, "query row column vector"),
+]
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 retrieval: 5 multi-term search queries served
+    against the corpus in ONE inverted-index pass — broadcast query
+    vocabulary prunes postings at the scan, per-term scores snap to
+    integer ppm before the cross-term sum (exact integer addition, no
+    float sum-order exposure), top-10 docs per query. N/total_len are
+    counted recipe parameters as in q_bm25_scores."""
+    from json_ld_spark.operators.textstats import bm25_retrieval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qdf = spark.createDataFrame(
+        _RETRIEVAL_QUERIES, "query_id int, query_text string"
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    stats = (
+        docs.select(norm.alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select(F.size(F.split(F.col("_t"), " ")).alias("_n"))
+        .agg(F.count("*").alias("n"), F.sum("_n").alias("total"))
+        .collect()[0]  # 1-row recipe parameters
+    )
+    return bm25_retrieval(
+        docs, qdf, int(stats["n"]), int(stats["total"]),
+        k1=_BM25_K1, b=_BM25_B, k=_BM25_K,
+    )
+
+
+_FUZZY_ID_OFF = 1_000_000  # dirty-side ids live in their own range
+
+
+def q_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity resolution: a deterministic dirty twin of
+    every customer name (one char deleted at position c_custkey mod
+    len) is matched back against the clean roster via the SymSpell
+    delete-1 neighborhood join (recall 1.0 by theorem, exact
+    levenshtein verify). The oracle is a structurally INDEPENDENT
+    cross-join + levenshtein filter — the strongest kind of gate."""
+    from json_ld_spark.operators.joins import fuzzy_join_delete1
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    clean = cust.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b")
+    )
+    p = (F.col("c_custkey") % F.length("c_name") + 1).cast("int")
+    dirty = cust.select(
+        (F.col("c_custkey") + _FUZZY_ID_OFF).alias("id_a"),
+        F.concat(
+            F.col("c_name").substr(F.lit(1), p - 1),
+            F.col("c_name").substr(p + 1, F.length("c_name")),
+        ).alias("name_a"),
+    )
+    return fuzzy_join_delete1(dirty, clean)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension min-max uint8 quantization of the embedding
     table; integer summaries (incl. a dimension-weighted checksum)
@@ -3776,6 +3839,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_in_windows": q_events_in_windows,
         "source_percentiles": q_source_percentiles,
+        # r5 additions land at the END so they never displace the
+        # verification-debt ordering of the driver's ~50-query window
+        "bm25_retrieval": q_bm25_retrieval,
+        "fuzzy_entity_match": q_fuzzy_entity_match,
     }
 
 
@@ -6263,5 +6330,83 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT iri || '{_ALIAS_SUFFIX}', '{OWL_SAMEAS}', iri
         FROM {_gazetteer_values()}
+        """
+    _rq_values = ", ".join(
+        f"({qid}, '{qt}')" for qid, qt in _RETRIEVAL_QUERIES
+    )
+    d["bm25_retrieval"] = f"""
+        WITH w AS (
+          SELECT doc_id, string_split(tt, ' ') AS words
+          FROM (SELECT doc_id, {norm} AS tt FROM documents)
+          WHERE length(tt) > 0
+        ),
+        stats AS (
+          SELECT count(*) AS n, CAST(sum(len(words)) AS BIGINT) AS total
+          FROM w
+        ),
+        dl AS (SELECT doc_id, len(words) AS dl FROM w),
+        q(query_id, query_text) AS (VALUES {_rq_values}),
+        qt AS (
+          SELECT query_id, term
+          FROM (
+            SELECT query_id,
+                   unnest(list_distinct(string_split(
+                     trim(regexp_replace(lower(query_text),
+                                         '\\s+', ' ', 'g')),
+                     ' '))) AS term
+            FROM q
+          ) WHERE length(term) > 0
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(words) AS term FROM w)
+          WHERE term IN (SELECT DISTINCT term FROM qt)
+          GROUP BY 1, 2
+        ),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        term_scored AS (
+          SELECT tf.doc_id, tf.term,
+                 CAST(round(
+                   ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf.tf * {_BM25_K1 + 1.0!r})
+                   / (tf.tf + {_BM25_K1!r}
+                      * ({1.0 - _BM25_B!r} + {_BM25_B!r}
+                         * CAST(dl.dl AS DOUBLE)
+                         / (CAST(total AS DOUBLE) / CAST(n AS DOUBLE))))
+                   * 1000000.0) AS BIGINT) AS ppm
+          FROM tf JOIN dl USING (doc_id)
+          CROSS JOIN stats JOIN dfx USING (term)
+        ),
+        totals AS (
+          SELECT qt.query_id, ts.doc_id,
+                 CAST(count(*) AS INT) AS n_terms,
+                 CAST(sum(ts.ppm) AS BIGINT) AS score_ppm
+          FROM term_scored ts JOIN qt USING (term)
+          GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, n_terms, score_ppm, CAST(rk AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score_ppm DESC, doc_id) AS rk
+              FROM totals)
+        WHERE rk <= {_BM25_K}
+        """
+    # structurally independent oracle: brute cross-join + levenshtein,
+    # no blocking — validates the SymSpell neighborhood's recall too
+    d["fuzzy_entity_match"] = f"""
+        WITH clean AS (
+          SELECT c_custkey AS id_b, c_name AS name_b FROM customer
+        ),
+        dirty AS (
+          SELECT c_custkey + {_FUZZY_ID_OFF} AS id_a,
+                 substr(c_name, 1, p - 1)
+                   || substr(c_name, p + 1, length(c_name)) AS name_a
+          FROM (SELECT *, CAST(c_custkey % length(c_name) + 1 AS INT) AS p
+                FROM customer)
+        )
+        SELECT id_a, name_a, id_b, name_b,
+               CAST(levenshtein(name_a, name_b) AS INT) AS dist
+        FROM dirty CROSS JOIN clean
+        WHERE levenshtein(name_a, name_b) <= 1
         """
     return d

@@ -235,3 +235,83 @@ def interval_overlap_join(
     keep += [F.col(c) for c in acols if c != on]
     keep += [F.col(c) for c in bcols]
     return joined.select(*keep, overlap)
+
+
+def fuzzy_join_delete1(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "id_a",
+    left_text: str = "name_a",
+    right_id: str = "id_b",
+    right_text: str = "name_b",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """(id_a, name_a, id_b, name_b, dist): typo-tolerant string join —
+    every (left, right) pair within Levenshtein distance ≤ 1, without
+    a cartesian product.
+
+    Blocking is the symmetric-delete (SymSpell) neighborhood: for each
+    string, the set {s} ∪ {s with one char deleted}. Two strings with
+    edit distance ≤ 1 ALWAYS share a neighborhood member (delete the
+    inserted char / the substituted char's deletion collides / the
+    string itself), so recall is 1.0 by construction; the exact
+    ``levenshtein`` predicate then filters false candidates. This is
+    the standard entity-resolution shape for dirty join keys (typo'd
+    names, OCR'd ids) at corpus scale.
+
+    Scale plan:
+      - neighborhoods are built JVM-side (``transform`` over a char
+        sequence, ``array_distinct`` collapses repeated-char
+        deletions) — |s|+1 variants per row, a LINEAR explode.
+      - candidates come from an equality join on the variant string —
+        a shuffled hash join Catalyst plans natively; no similarity
+        predicate ever reaches the join condition (which would force
+        a broadcast nested loop).
+      - hot variants (e.g. a boilerplate name shared by k rows) are
+        capped per side at ``max_bucket`` by a deterministic
+        (variant ORDER BY id) row_number — the same guard the minhash
+        and simhash band joins use; drops are a recall trade logged by
+        the cap, never a correctness bug on the survivors.
+      - a candidate pair can share several variants → one
+        dropDuplicates on (id_a, id_b) before the verify.
+    """
+    from pyspark.sql.window import Window
+
+    def neighborhood(df, idc, txc, side):
+        # rename in its OWN projection: a higher-order-function lambda
+        # that captures a column aliased in the same select resolves
+        # to a LateralColumnAliasReference and Spark rejects the plan
+        base = df.select(
+            F.col(idc).alias(f"id_{side}"),
+            F.col(txc).alias(f"name_{side}"),
+        )
+        s = F.col(f"name_{side}")
+        dels = F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                s.substr(F.lit(1), i - 1),
+                s.substr(i + 1, F.length(s)),
+            ),
+        )
+        v = base.select(
+            f"id_{side}",
+            f"name_{side}",
+            F.explode(
+                F.array_distinct(F.concat(F.array(s), dels))
+            ).alias("_v"),
+        )
+        w = Window.partitionBy("_v").orderBy(F.col(f"id_{side}"))
+        return v.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= max_bucket
+        ).drop("_rn")
+
+    la = neighborhood(left, left_id, left_text, "a")
+    rb = neighborhood(right, right_id, right_text, "b")
+    cand = (
+        la.join(rb, "_v")
+        .select("id_a", "name_a", "id_b", "name_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("dist") <= 1)

@@ -517,6 +517,113 @@ def bm25_scores(
     ).filter(F.col("rank") <= k)
 
 
+def bm25_retrieval(
+    docs: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    total_len: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+) -> DataFrame:
+    """(query_id, doc_id, n_terms, score_ppm, rank): multi-query BM25
+    retrieval — the inverted-index join that serves a BATCH of search
+    queries against the corpus in one pass (classic sparse retrieval;
+    bm25_scores above ranks per single term, this ranks per query).
+
+    Per (query, doc): score = Σ over the query's DISTINCT terms of
+    the Okapi term score (same formula/params as bm25_scores). Each
+    term score is fixed to integer parts-per-million BEFORE the sum,
+    so the cross-term addition is exact integer arithmetic — immune to
+    float sum-order divergence between engines (the quality-classifier
+    logit_ppm lesson). n_terms = how many query terms matched the doc;
+    ranks tie-break on doc_id.
+
+    Scale plan (100 TB corpus, q queries × ~|Q| terms each):
+      - the corpus is tokenized ONCE into postings (doc, term, tf);
+        the only corpus-sized shuffle is that groupBy (map-side
+        partial agg). Postings are pre-filtered by a BROADCAST of the
+        query vocabulary, so non-query terms never leave the scan
+        stage.
+      - df and the (query_id, term) fan-out are broadcast joins — the
+        corpus side never re-shuffles. (A web-scale query LOG would
+        instead shuffle-join postings⋈query_terms on term; the
+        broadcast shape is right for interactive batches of ≤~10^5
+        terms.)
+      - the final top-k is one window over ≤ N·q scored pairs,
+        partitioned by query_id — embarrassingly parallel across
+        queries.
+    """
+    from pyspark.sql import Window
+
+    avgdl = float(total_len) / float(n_docs)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    words = (
+        docs.select(F.col(id_col).alias("id"), norm.alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select("id", F.split(F.col("_t"), " ").alias("_w"))
+    )
+    dl = words.select("id", F.size("_w").alias("dl"))
+    qnorm = F.trim(F.regexp_replace(F.lower(F.col(qtext_col)), "\\s+", " "))
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(F.array_distinct(F.split(qnorm, " "))).alias("term"),
+    ).filter(F.length("term") > 0)
+    vocab = qterms.select("term").distinct()
+    tf = (
+        words.select("id", F.explode("_w").alias("term"))
+        .join(F.broadcast(vocab), "term")
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfx = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    # per-(doc, term) score, snapped to integer ppm — the unit that sums
+    term_ppm = F.round(
+        F.log(
+            (F.lit(float(n_docs)) - F.col("_df") + 0.5)
+            / (F.col("_df") + 0.5)
+            + 1.0
+        )
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (1.0 - b + F.lit(b) * F.col("dl").cast("double") / avgdl)
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfx), "term")
+        .join(dl, "id")
+        .select("id", "term", term_ppm.alias("_ppm"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("qid", "id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms"),
+            F.sum("_ppm").alias("score_ppm"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score_ppm"), F.col("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(qid_col),
+            F.col("id").alias(id_col),
+            "n_terms",
+            "score_ppm",
+            "rank",
+        )
+    )
+
+
 def quality_classifier_scores(
     docs: DataFrame,
     n_buckets: int = 4096,

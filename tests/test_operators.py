@@ -1860,3 +1860,118 @@ def test_banded_lsh_planted_recall(spark):
     }
     recall = len(found & planted) / len(planted)
     assert recall >= 0.9, (recall, sorted(planted - found))
+
+
+def test_bm25_retrieval_planted(spark):
+    """Hand-checkable retrieval: for the query 'apple banana', the doc
+    containing BOTH terms must outrank single-term docs; a duplicated
+    query term counts once (distinct-term semantics); and score_ppm is
+    an exact integer (the unit that makes the cross-term sum immune to
+    float add-order)."""
+    import math
+
+    from json_ld_spark.operators.textstats import bm25_retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple apple"),
+            (3, "banana date"),
+            (4, "cherry date elderberry fig"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(10, "apple banana"), (20, "banana banana"), (30, "missingterm")],
+        "query_id int, query_text string",
+    )
+    n_docs, total_len = 4, 3 + 3 + 2 + 4
+    out = bm25_retrieval(docs, queries, n_docs, total_len, k=10)
+    rows = {(r["query_id"], r["doc_id"]): r for r in out.collect()}
+
+    # query 10: doc 1 matches both terms, docs 2/3 one each
+    assert rows[(10, 1)]["n_terms"] == 2
+    assert rows[(10, 1)]["rank"] == 1
+    assert {r["doc_id"] for (q, _), r in rows.items() if q == 10} == {1, 2, 3}
+    # duplicated query term counts once: query 20 on doc 3 equals the
+    # single banana term score of query 10 on doc 3
+    assert rows[(20, 3)]["score_ppm"] == rows[(10, 3)]["score_ppm"]
+    assert rows[(20, 3)]["n_terms"] == 1
+    # no rows for a vocabulary miss
+    assert not any(q == 30 for (q, _) in rows)
+    # exact integer ppm reproduces the closed-form Okapi score
+    k1, b = 1.2, 0.75
+    avgdl = total_len / n_docs
+    idf = math.log((n_docs - 2 + 0.5) / (2 + 0.5) + 1.0)  # df=2 for both
+
+    def term_ppm(tf, dl):
+        return round(
+            idf * (tf * (k1 + 1))
+            / (tf + k1 * (1 - b + b * dl / avgdl)) * 1e6
+        )
+
+    # doc 1 (dl=3): apple tf=1 + banana tf=1, summed AFTER per-term
+    # rounding — exactly what the operator computes
+    assert abs(
+        rows[(10, 1)]["score_ppm"] - (term_ppm(1, 3.0) + term_ppm(1, 3.0))
+    ) <= 2  # ≤1 ulp-of-round per term
+    # doc 3 (dl=2): banana only
+    assert abs(rows[(10, 3)]["score_ppm"] - term_ppm(1, 2.0)) <= 1
+
+
+def test_bm25_retrieval_broadcast_plan(spark):
+    """The corpus side must join the query fan-out via BROADCAST —
+    the corpus never re-shuffles for the query join."""
+    from json_ld_spark.operators.textstats import bm25_retrieval
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 5} filler") for i in range(100)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "term1 term2")], "query_id int, query_text string"
+    )
+    out = bm25_retrieval(docs, queries, 100, 200)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fuzzy_join_delete1_planted(spark):
+    """Every edit-distance-≤1 pair must be found (deletion, insertion,
+    substitution, exact), distance-2 pairs must not."""
+    from json_ld_spark.operators.joins import fuzzy_join_delete1
+
+    left = spark.createDataFrame(
+        [
+            (1, "jonathan"),   # exact match of right 10
+            (2, "jonathn"),    # deletion → dist 1 to right 10
+            (3, "jonathann"),  # insertion → dist 1
+            (4, "jonathon"),   # substitution → dist 1
+            (5, "jonthn"),     # dist 2 → must NOT match
+            (6, "zzz"),        # no candidate at all
+        ],
+        "id_a long, name_a string",
+    )
+    right = spark.createDataFrame(
+        [(10, "jonathan"), (11, "xxxxx")], "id_b long, name_b string"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_join_delete1(left, right).collect()
+    }
+    assert out == {(1, 10): 0, (2, 10): 1, (3, 10): 1, (4, 10): 1}
+
+
+def test_fuzzy_join_delete1_hot_bucket_cap(spark):
+    """k rows sharing one name must not produce k² candidates: the
+    per-variant row cap bounds each side at max_bucket."""
+    from json_ld_spark.operators.joins import fuzzy_join_delete1
+
+    left = spark.createDataFrame(
+        [(i, "same name") for i in range(100)], "id_a long, name_a string"
+    )
+    right = spark.createDataFrame(
+        [(i, "same name") for i in range(100)], "id_b long, name_b string"
+    )
+    n = fuzzy_join_delete1(left, right, max_bucket=8).count()
+    assert n == 8 * 8, n  # 8 survivors per side, all cross-match
