@@ -2791,6 +2791,42 @@ def q_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join_delete1(dirty, clean)
 
 
+_SEMDEDUP_TAU = 0.9
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    corpus (the SHARED trained IVF codebook — a dedup system reuses
+    its serving index), then prune every vector with a lower-id
+    cluster-mate at cosine >= 0.9. Runs over the planted-near-dup
+    corpus (q_embedding_neardup's twins), so each planted twin must
+    land in its source's cluster and be removed by it — the oracle
+    replays the Lloyd training, the argmax assignment, and the
+    intra-cluster prune CTE-for-CTE."""
+    from json_ld_spark.operators.dedup import semdedup
+
+    cents = _trained_codebook(spark, sf_dir)
+    corpus = _neardup_planted_corpus(spark, sf_dir)
+    return semdedup(corpus, cents, threshold=_SEMDEDUP_TAU)
+
+
+_XSPAN_N = 13
+
+
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring spans (Lee et al. 2022,
+    ExactSubstr): merged per-document word ranges covered by 13-grams
+    that occur in >= 2 distinct documents — the ranges a span-cutting
+    dedup pass would remove. The documents corpus is naturally
+    templated (sf0.01: 45 merged spans over 500 docs), so no planting
+    is needed; the oracle replays gram hashing, the distinct-doc
+    frequency gate, and the gaps-and-islands interval merge."""
+    from json_ld_spark.operators.dedup import exact_substring_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_substring_spans(docs, n=_XSPAN_N, min_docs=2)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension min-max uint8 quantization of the embedding
     table; integer summaries (incl. a dimension-weighted checksum)
@@ -3727,7 +3763,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (CORRECTNESS_r04.json), each block in stable prior order."""
     return {
         # -- block 1: never driver-verified through r4 (50) ----------
-        "hll_distinct_users": q_hll_distinct_users,
+        # bm25_retrieval / fuzzy_entity_match (new in r5, zero prior
+        # driver evidence) take the window slots of hll_distinct_users
+        # / events_pivot, which the r4 judge independently DuckDB-
+        # probed OK (VERDICT "untested*-check" set) — maximizes queries
+        # with at least one external verification.
+        "bm25_retrieval": q_bm25_retrieval,
+        "fuzzy_entity_match": q_fuzzy_entity_match,
         "kmv_distinct_users": q_kmv_distinct_users,
         "entity_adamic_adar": q_entity_adamic_adar,
         "events_rollup": q_events_rollup,
@@ -3756,7 +3798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_counts": q_stream_cms_counts,
         "bloom_user_filter": q_bloom_user_filter,
         "pii_luhn_cards": q_pii_luhn_cards,
-        "events_pivot": q_events_pivot,
         "session_window_overlap": q_session_window_overlap,
         "events_unpivot": q_events_unpivot,
         "neardup_canonical": q_neardup_canonical,
@@ -3777,6 +3818,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents_bpe": q_chunk_documents_bpe,
         "bpe_train_merges": q_bpe_train_merges,
         "pack_chunks_bpe": q_pack_chunks_bpe,
+        # -- block 1b: never driver-verified, but independently
+        # DuckDB-probed OK by the r4 judge (displaced from the window
+        # by the two r5 additions above) ------------------------------
+        "hll_distinct_users": q_hll_distinct_users,
+        "events_pivot": q_events_pivot,
         # -- block 2: last green driver row is r1–r3 (10) ------------
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3839,10 +3885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_in_windows": q_events_in_windows,
         "source_percentiles": q_source_percentiles,
-        # r5 additions land at the END so they never displace the
-        # verification-debt ordering of the driver's ~50-query window
-        "bm25_retrieval": q_bm25_retrieval,
-        "fuzzy_entity_match": q_fuzzy_entity_match,
+        # -- block 4: new in this session (in-repo oracle-parity
+        # gated; outside the driver's ~50-query window) --------------
+        "semdedup": q_semdedup,
+        "exact_substring_spans": q_exact_substring_spans,
     }
 
 
@@ -6408,5 +6454,89 @@ def oracle_sql() -> dict[str, str]:
                CAST(levenshtein(name_a, name_b) AS INT) AS dist
         FROM dirty CROSS JOIN clean
         WHERE levenshtein(name_a, name_b) <= 1
+        """
+    # SemDeDup oracle: replay the Lloyd training (shared IVF recipe),
+    # assign the planted corpus to the trained centroids (argmax
+    # cosine, ties to the lowest centroid id — max_by's order), then
+    # the intra-cluster lowest-id prune
+    _sd_body, _sd_cents, _ = _ivf_train_ctes()
+    d["semdedup"] = f"""{_sd_body},
+        sd_planted AS (
+          SELECT vec_id + {_NEARDUP_PLANT_OFFSET} AS vec_id,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 0.9 + 0.05, 4) AS FLOAT))
+                   AS embedding
+          FROM embeddings WHERE vec_id % {_NEARDUP_PLANT_STRIDE} = 0
+        ),
+        sd_corpus AS (
+          SELECT vec_id, v FROM e
+          UNION ALL
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM sd_planted
+        ),
+        sd_scored AS (
+          SELECT c.vec_id, c.v, k.centroid_id,
+                 row_number() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_sql_cos('c.v', 'k.centroid')} DESC,
+                            k.centroid_id
+                 ) AS rn
+          FROM sd_corpus c CROSS JOIN {_sd_cents} k
+        ),
+        sd_asg AS (
+          SELECT vec_id, v, centroid_id FROM sd_scored WHERE rn = 1
+        ),
+        sd_keep AS (
+          SELECT a.vec_id, min(b.vec_id) AS kept_by
+          FROM sd_asg a JOIN sd_asg b
+            ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+          WHERE round({_sql_cos('a.v', 'b.v')}, 4) >= {_SEMDEDUP_TAU}
+          GROUP BY 1
+        )
+        SELECT a.vec_id, a.centroid_id, k.kept_by,
+               CAST(k.kept_by IS NOT NULL AS INT) AS removed
+        FROM sd_asg a LEFT JOIN sd_keep k USING (vec_id)
+        """
+    # exact-substring oracle: gram hashing, distinct-doc frequency
+    # gate, co-keyed tag join, gaps-and-islands interval merge
+    d["exact_substring_spans"] = f"""
+        WITH xd AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')
+                   AS w
+          FROM documents
+        ),
+        xocc AS (
+          SELECT doc_id, CAST(t.i AS INT) AS pos,
+                 md5(array_to_string(
+                   list_slice(w, t.i, t.i + {_XSPAN_N - 1}), ' ')) AS key
+          FROM xd, UNNEST(range(1, len(w) - {_XSPAN_N} + 2)) AS t(i)
+          WHERE len(w) >= {_XSPAN_N}
+        ),
+        xdup AS (
+          SELECT key FROM xocc
+          GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+        ),
+        xhits AS (SELECT doc_id, pos FROM xocc JOIN xdup USING (key)),
+        xbrk AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (
+                   PARTITION BY doc_id ORDER BY pos) > {_XSPAN_N}
+                 THEN 1 ELSE 0 END AS b
+          FROM xhits
+        ),
+        xisl AS (
+          SELECT doc_id, pos,
+                 sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+          FROM xbrk
+        )
+        SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+               CAST(max(pos) + {_XSPAN_N} AS INT) AS span_end,
+               CAST(max(pos) + {_XSPAN_N} - min(pos) AS INT) AS span_words
+        FROM xisl GROUP BY doc_id, island
         """
     return d

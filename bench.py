@@ -203,6 +203,10 @@ def main() -> None:
         "table_profile",
         "mention_kwic",
         "pack_turns",
+        "bm25_retrieval",
+        "fuzzy_entity_match",
+        "semdedup",
+        "exact_substring_spans",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

@@ -713,3 +713,148 @@ def jaccard_prefix_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
+    relationally: semantic deduplication by k-means clustering plus
+    intra-cluster cosine pruning. Every vector is assigned to its
+    nearest trained centroid (``similarity.ivf_assign`` — broadcast
+    codebook, map-side ``max_by`` argmax); within each cluster a
+    vector is REMOVED when a lower-id cluster-mate sits inside its
+    epsilon-ball (``round(cosine, 4) >= threshold``). Output: one row
+    per vector — (vec_id, centroid_id, kept_by, removed) where
+    kept_by is the lowest-id qualifying representative (NULL when the
+    vector survives).
+
+    Canonical-choice note: the paper keeps the vector FARTHEST from
+    the centroid inside each epsilon-ball; this implementation keeps
+    the lowest id, which is deterministic across engines and makes
+    the whole prune oracle-checkable. Swap the min(id) aggregate for
+    a ``min_by(id, -centroid_cosine)`` to get the paper's policy.
+
+    Scale shape: the clustering exists precisely to bound the
+    quadratic — the pair join is co-partitioned on centroid_id and
+    never compares across clusters, so its cost is sum(cluster^2).
+    That stays linear in N only when the codebook size grows with the
+    corpus (k ~ N / target_cluster_size, trained on a sample as
+    ``train_ivf_codebook`` documents); a fixed k at 100x the corpus
+    re-creates the r4 sign-LSH blowup. The min(kept_by) aggregation
+    is partial (map-side) on vec_id."""
+    from json_ld_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    left = assigned.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        "centroid_id",
+    )
+    right = assigned.select(
+        F.col(id_col).alias("_rid"),
+        F.col(vec_col).alias("_rv"),
+        "centroid_id",
+    )
+    keep = (
+        left.join(right, "centroid_id")
+        .filter(F.col("_rid") < F.col("_id"))
+        .filter(
+            F.round(cosine_similarity(F.col("_v"), F.col("_rv")), 4)
+            >= threshold
+        )
+        .groupBy("_id")
+        .agg(F.min("_rid").alias("kept_by"))
+    )
+    return (
+        assigned.select(F.col(id_col), "centroid_id")
+        .join(keep.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            "kept_by",
+            F.col("kept_by").isNotNull().cast("int").alias("removed"),
+        )
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    n: int = 13,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document exact-substring detection (the ExactSubstr
+    flavor of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499) re-expressed
+    relationally: every word n-gram occurring in >= min_docs DISTINCT
+    documents marks its n-word occurrence window, and per document
+    the marked windows are merged into maximal spans (gaps-and-
+    islands: a new span starts when the next hit is more than n words
+    past the previous one). Output: one row per merged span —
+    (doc_id, span_start, span_end, span_words), 1-based word
+    positions, end exclusive — the byte ranges a span-cutting pass
+    would remove.
+
+    The suffix array of the original is replaced by shuffle-friendly
+    relational stages: explode n-grams with position -> frequency
+    count keyed on md5(gram) (a 32-hex key, so the two gram shuffles
+    never carry up-to-n-word strings) -> co-partitioned tag join ->
+    per-doc interval merge. The gram-frequency side is corpus-sized
+    and unbounded like the TF-IDF dictionary: no forced broadcast,
+    AQE chooses. The interval-merge window partitions by doc_id and
+    is bounded by per-document hit counts, never corpus size.
+    Within-document repetition is deliberately out of scope here
+    (``repetition_stats`` covers it): a gram repeated only inside one
+    document does not mark a span."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), "\\s+", " "
+        )
+    )
+    words = F.when(
+        F.length(norm) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(norm, " "))
+    staged = docs.select(F.col(id_col), words.alias("_w"))
+    grams_arr = F.when(
+        F.size("_w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = staged.select(
+        F.col(id_col),
+        F.posexplode(grams_arr).alias("_p0", "_key"),
+    ).select(id_col, (F.col("_p0") + 1).cast("int").alias("pos"), "_key")
+    dup = (
+        occ.groupBy("_key")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_key")
+    )
+    hits = occ.join(dup, "_key").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = hits.select(
+        id_col,
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) > n, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_brk"),
+    )
+    isl = marked.select(
+        id_col, "pos", F.sum("_brk").over(run).alias("_island")
+    )
+    return isl.groupBy(id_col, "_island").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + n).cast("int").alias("span_end"),
+        (F.max("pos") + n - F.min("pos")).cast("int").alias("span_words"),
+    ).drop("_island")

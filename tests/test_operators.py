@@ -1975,3 +1975,105 @@ def test_fuzzy_join_delete1_hot_bucket_cap(spark):
     )
     n = fuzzy_join_delete1(left, right, max_bucket=8).count()
     assert n == 8 * 8, n  # 8 survivors per side, all cross-match
+
+
+class TestSemDedup:
+    def test_planted_twin_removed_by_source(self, spark):
+        from json_ld_spark.operators.dedup import semdedup
+        from json_ld_spark.operators.similarity import train_ivf_codebook
+
+        # 3 well-separated directions + a near-copy of each; the copy
+        # must land in its source's cluster and be pruned by it
+        base = {
+            10: [1.0, 0.0, 0.0, 0.1],
+            20: [0.0, 1.0, 0.0, 0.1],
+            30: [0.0, 0.0, 1.0, 0.1],
+        }
+        rows = [(i, [float(x) for x in v]) for i, v in base.items()]
+        rows += [
+            (i + 100, [float(x) * 0.9 + 0.01 for x in v])
+            for i, v in base.items()
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        cents = train_ivf_codebook(emb, n_centroids=3, n_iters=2, dim=4)
+        out = {
+            r["vec_id"]: r
+            for r in semdedup(emb, cents, threshold=0.9).collect()
+        }
+        assert len(out) == 6
+        for src in (10, 20, 30):
+            twin = out[src + 100]
+            assert twin["removed"] == 1
+            assert twin["kept_by"] == src
+            assert twin["centroid_id"] == out[src]["centroid_id"]
+            assert out[src]["removed"] == 0
+            assert out[src]["kept_by"] is None
+
+    def test_below_threshold_pairs_survive(self, spark):
+        from json_ld_spark.operators.dedup import semdedup
+        from json_ld_spark.operators.similarity import train_ivf_codebook
+
+        # orthogonal-ish vectors in ONE cluster: nothing removed
+        rows = [
+            (1, [1.0, 0.0, 0.05, 0.0]),
+            (2, [0.0, 1.0, 0.05, 0.0]),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        cents = train_ivf_codebook(emb, n_centroids=1, n_iters=1, dim=4)
+        out = semdedup(emb, cents, threshold=0.9).collect()
+        assert all(r["removed"] == 0 for r in out)
+
+
+class TestExactSubstringSpans:
+    def test_shared_span_merged(self, spark):
+        from json_ld_spark.operators.dedup import exact_substring_spans
+
+        shared = " ".join(f"s{i}" for i in range(8))  # 8 shared words
+        docs = spark.createDataFrame(
+            [
+                (1, f"a1 a2 {shared} a3 a4"),
+                (2, f"b1 {shared} b2 b3 b4 b5"),
+                # doc 3: no cross-doc 4-gram
+                (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+            ],
+            "doc_id long, text string",
+        )
+        out = exact_substring_spans(docs, n=4, min_docs=2)
+        spans = {r["doc_id"]: r for r in out.collect()}
+        # 5 overlapping 4-gram hits merge into ONE span per doc
+        assert set(spans) == {1, 2}
+        assert (spans[1]["span_start"], spans[1]["span_end"]) == (3, 11)
+        assert (spans[2]["span_start"], spans[2]["span_end"]) == (2, 10)
+        assert spans[1]["span_words"] == 8
+
+    def test_within_doc_repeat_is_not_a_span(self, spark):
+        from json_ld_spark.operators.dedup import exact_substring_spans
+
+        rep = "x1 x2 x3 x4"
+        docs = spark.createDataFrame(
+            [(1, f"{rep} filler1 filler2 {rep}"), (2, "y1 y2 y3 y4 y5")],
+            "doc_id long, text string",
+        )
+        # the repeated 4-gram lives in ONE doc only -> no spans
+        assert exact_substring_spans(docs, n=4, min_docs=2).count() == 0
+
+    def test_disjoint_hits_two_spans(self, spark):
+        from json_ld_spark.operators.dedup import exact_substring_spans
+
+        s1, s2 = "p1 p2 p3 p4", "q1 q2 q3 q4"
+        gap = " ".join(f"g{i}" for i in range(6))
+        docs = spark.createDataFrame(
+            [(1, f"{s1} {gap} {s2}"), (2, f"z1 {s1} z2"), (3, f"{s2} z3")],
+            "doc_id long, text string",
+        )
+        out = exact_substring_spans(docs, n=4, min_docs=2)
+        d1 = sorted(
+            (r["span_start"], r["span_end"])
+            for r in out.filter(F.col("doc_id") == 1).collect()
+        )
+        # two separated islands in doc 1: words 1-5 and words 11-15
+        assert d1 == [(1, 5), (11, 15)]
