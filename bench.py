@@ -207,6 +207,9 @@ def main() -> None:
         "fuzzy_entity_match",
         "semdedup",
         "exact_substring_spans",
+        "rdfs_entailment",
+        "bgp_match",
+        "triple_provenance",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)
