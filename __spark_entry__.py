@@ -2927,6 +2927,67 @@ def q_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HQ_BINS = 64
+_HQ_PERMILLE = (10, 250, 500, 750, 900, 990)
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile estimates over document lengths —
+    the O(n_bins)-state scale path beside the exact nearest-rank
+    operator (source_percentiles). Bin assignment and target ranks
+    are pure integer arithmetic; the one float expression (in-bin
+    interpolation) is a single shared IEEE tree, so the oracle
+    replays bins, cumulative counts, and estimates exactly."""
+    from json_ld_spark.operators.stats import histogram_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vals = docs.filter(F.col("text").isNotNull()).select(
+        F.length("text").alias("len")
+    )
+    return histogram_quantiles(
+        vals, "len", n_bins=_HQ_BINS, permille=_HQ_PERMILLE
+    )
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift between the even- and
+    odd-doc_id halves of the corpus (the snapshot-vs-snapshot QA gate
+    run before retraining): CDFs carried as integer ppm, so the
+    statistic and its argmax location are exact integers the oracle
+    replays bit-for-bit."""
+    from json_ld_spark.operators.stats import ks_two_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = docs.filter(F.col("text").isNotNull()).select(
+        F.length("text").alias("len"),
+        (F.col("doc_id") % 2 == 0).alias("side"),
+    )
+    return ks_two_sample(s, "len", "side")
+
+
+_HH_K = 100
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (freq > N/k tokens) via per-partition
+    Space-Saving candidates + broadcast exact verify — the two-pass
+    pattern that never shuffles the long tail (at web scale the
+    token tail is billions of hapaxes; this shuffles only candidate
+    rows). Output is deterministic despite the partitioning-dependent
+    sketch, which is what lets the plain GROUP BY/HAVING oracle gate
+    it; the eviction path is pinned by a planted-Zipf pytest."""
+    from json_ld_spark.operators.sketches import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    toks = (
+        docs.select(norm.alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select(F.explode(F.split(F.col("_t"), " ")).alias("term"))
+    )
+    return heavy_hitters(toks, col="term", k=_HH_K)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension min-max uint8 quantization of the embedding
     table; integer summaries (incl. a dimension-weighted checksum)
@@ -3930,6 +3991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_entailment": q_rdfs_entailment,
         "bgp_match": q_bgp_match,
         "triple_provenance": q_triple_provenance,
+        "heavy_hitters": q_heavy_hitters,
+        "histogram_quantiles": q_histogram_quantiles,
+        "ks_drift": q_ks_drift,
         # -- block 2: last green driver row is r1–r3 (10) ------------
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4283,6 +4347,85 @@ def oracle_sql() -> dict[str, str]:
         "entity_pagerank": _pagerank_oracle_sql(),
         "entity_pagerank_directed": _pagerank_oracle_sql(directed=True),
         "rdfs_entailment": _rdfs_oracle_sql(),
+        "histogram_quantiles": f"""
+        WITH v AS (
+          SELECT CAST(length(text) AS BIGINT) AS v FROM documents
+          WHERE text IS NOT NULL
+        ),
+        p AS (
+          SELECT min(v) AS mn, max(v) - min(v) + 1 AS span,
+                 count(*) AS n
+          FROM v
+        ),
+        h AS (
+          SELECT (v - mn) * {_HQ_BINS} // span AS bin, mn, span, n,
+                 count(*) AS cnt
+          FROM v, p GROUP BY 1, 2, 3, 4
+        ),
+        c AS (
+          SELECT *,
+                 CAST(sum(cnt) OVER (ORDER BY bin) - cnt AS BIGINT)
+                   AS cum_prev,
+                 CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+          FROM h
+        ),
+        q AS (SELECT unnest({list(_HQ_PERMILLE)}) AS permille)
+        SELECT permille, n,
+               (permille * n + 999) // 1000 AS rank, bin,
+               round(mn + bin * (CAST(span AS DOUBLE) / {_HQ_BINS})
+                     + (CAST(span AS DOUBLE) / {_HQ_BINS})
+                       * ((permille * n + 999) // 1000 - cum_prev) / cnt,
+                     6) AS est
+        FROM c, q
+        WHERE cum_prev < (permille * n + 999) // 1000
+          AND (permille * n + 999) // 1000 <= cum
+        """,
+        "ks_drift": """
+        WITH s AS (
+          SELECT CAST(length(text) AS BIGINT) AS v,
+                 doc_id % 2 = 0 AS sd
+          FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN sd THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN NOT sd THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+          FROM s GROUP BY 1
+        ),
+        d AS (
+          SELECT v,
+                 CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cua,
+                 CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cub,
+                 CAST(sum(ca) OVER () AS BIGINT) AS na,
+                 CAST(sum(cb) OVER () AS BIGINT) AS nb
+          FROM c
+        ),
+        e AS (
+          SELECT v, na, nb,
+                 abs(cua * 1000000 // na - cub * 1000000 // nb) AS diff
+          FROM d
+        )
+        SELECT na AS n_a, nb AS n_b, max(diff) AS ks_ppm,
+               min(v) FILTER (WHERE diff = (SELECT max(diff) FROM e))
+                 AS at_value
+        FROM e GROUP BY 1, 2
+        """,
+        "heavy_hitters": f"""
+        WITH t AS (
+          SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS tt
+          FROM documents
+        ),
+        terms AS (
+          SELECT unnest(string_split(tt, ' ')) AS term
+          FROM t WHERE length(tt) > 0
+        ),
+        tot AS (SELECT count(*) AS n FROM terms)
+        SELECT term, count(*) AS n_obs,
+               count(*) * 1000000 // (SELECT n FROM tot) AS share_ppm
+        FROM terms GROUP BY term
+        HAVING count(*) * {_HH_K} > (SELECT n FROM tot)
+        """,
         "bgp_match": _MENTION_CTE + f"""
         SELECT DISTINCT '{CONV_NS}' || conv_id AS conv, turn,
                iri AS entity

@@ -210,6 +210,9 @@ def main() -> None:
         "rdfs_entailment",
         "bgp_match",
         "triple_provenance",
+        "heavy_hitters",
+        "histogram_quantiles",
+        "ks_drift",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

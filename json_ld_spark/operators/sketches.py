@@ -329,3 +329,81 @@ def bloom_contains(
         "key",
         (F.coalesce(F.col("_n"), F.lit(0)) == k).alias("present"),
     )
+
+
+def space_saving_candidates(
+    items: DataFrame,
+    col: str = "item",
+    m: int = 256,
+) -> DataFrame:
+    """Per-partition Space-Saving summaries (Metwally et al. 2005)
+    with WEIGHTED batch updates: each Arrow batch is collapsed to
+    (item, count) by pandas value_counts (C speed), then folded into
+    ``m`` counters — present items add their weight, new items evict
+    the minimum counter and inherit its count (the SS overestimate).
+    Python work per batch is O(distinct-in-batch), not O(rows).
+
+    Guarantee (the reason two-pass exact heavy hitters scale): any
+    item with true partition count > N_p/m ends among the partition's
+    final counters, so the union over partitions (≤ m·P rows — tiny,
+    broadcastable) is a SUPERSET of every item with global count
+    > N/m. The long tail never shuffles."""
+
+    def gen(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            for item, w in vc.items():
+                w = int(w)
+                if item in counters:
+                    counters[item] += w
+                elif len(counters) < m:
+                    counters[item] = w
+                else:
+                    evict = min(counters, key=counters.get)
+                    floor_ = counters.pop(evict)
+                    counters[item] = floor_ + w
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return items.select(col).mapInPandas(gen, schema=f"{col} string")
+
+
+def heavy_hitters(
+    items: DataFrame,
+    col: str = "item",
+    k: int = 500,
+    m: "int | None" = None,
+) -> DataFrame:
+    """(item, n_obs, share_ppm): every item with EXACT frequency
+    > N/k, found without shuffling the long tail — phase 1 collects
+    per-partition Space-Saving candidates (a guaranteed superset,
+    ≤ m·P rows), phase 2 broadcast-semi-joins the input down to
+    candidate rows only and counts those exactly.
+
+    The output is DETERMINISTIC even though the candidate set is
+    partitioning-dependent: the exact-count filter keeps precisely
+    {items with count·k > N}, and the SS guarantee says every such
+    item is a candidate under any partitioning — which is what lets
+    a SQL oracle (plain GROUP BY ... HAVING) gate the sketch path.
+    At 100 TB the groupBy shuffles only the heavy candidates' rows;
+    a naive GROUP BY would shuffle every distinct key (billions of
+    hapaxes for text tokens)."""
+    cand = (
+        space_saving_candidates(items, col=col, m=m or k)
+        .dropDuplicates()
+    )
+    total = items.select(F.count("*").alias("_n"))
+    return (
+        items.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("n_obs"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_obs") * k > F.col("_n"))
+        .select(
+            col,
+            "n_obs",
+            F.expr("n_obs * 1000000 div _n").alias("share_ppm"),
+        )
+    )
