@@ -2927,6 +2927,58 @@ def q_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DPO_MARGIN = 5
+
+
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction from conversations:
+    per conversation, best- vs worst-scoring assistant turns with a
+    margin gate (score = normalized char length as the pluggable
+    integer quality proxy). One conversation-keyed shuffle; ties
+    break on lowest turn index, so the oracle replays both windows
+    and the margin filter exactly."""
+    from json_ld_spark.operators.corpus import preference_pairs
+
+    t = _derived(spark, sf_dir)
+    score = F.length(
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), "\\s+", " "
+            )
+        )
+    )
+    return preference_pairs(
+        t.withColumn("_score", score), "_score", min_margin=_DPO_MARGIN
+    )
+
+
+_SDECON_STRIDE = 97
+_SDECON_OFFSET = 2_000_000
+_SDECON_TAU = 0.5
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination vs a PLANTED benchmark set
+    (derived twins of every 97th corpus vector — exact 4-dp
+    arithmetic both engines replay, the q_embedding_neardup plant
+    policy), so contaminated rows exist at every driver scale and
+    the cosine math is gated on real positives. Eval side broadcast;
+    corpus never shuffles before the id-keyed aggregate."""
+    from json_ld_spark.operators.decontaminate import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = emb.filter(F.col("vec_id") % _SDECON_STRIDE == 0).select(
+        (F.col("vec_id") + _SDECON_OFFSET).alias("eval_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 0.85 + 0.03, 4).cast("float"),
+        ).alias("embedding"),
+    )
+    return semantic_decontaminate(
+        emb.select("vec_id", "embedding"), ev, threshold=_SDECON_TAU
+    )
+
+
 _HQ_BINS = 64
 _HQ_PERMILLE = (10, 250, 500, 750, 900, 990)
 
@@ -3994,6 +4046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "histogram_quantiles": q_histogram_quantiles,
         "ks_drift": q_ks_drift,
+        "dpo_pairs": q_dpo_pairs,
+        "semantic_decontaminate": q_semantic_decontaminate,
         # -- block 2: last green driver row is r1–r3 (10) ------------
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4347,6 +4401,64 @@ def oracle_sql() -> dict[str, str]:
         "entity_pagerank": _pagerank_oracle_sql(),
         "entity_pagerank_directed": _pagerank_oracle_sql(directed=True),
         "rdfs_entailment": _rdfs_oracle_sql(),
+        "dpo_pairs": f"""
+        WITH t AS ({_T_CTE}),
+        cand AS (
+          SELECT conv_id AS conv, turn_idx AS turn,
+                 CAST(length(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')))
+                   AS BIGINT) AS score
+          FROM t WHERE role = 'assistant'
+        ),
+        r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY conv
+                                    ORDER BY score DESC, turn) AS rb,
+                 row_number() OVER (PARTITION BY conv
+                                    ORDER BY score ASC, turn) AS rw
+          FROM cand
+        )
+        SELECT b.conv AS conv_id, b.turn AS chosen_turn,
+               w.turn AS rejected_turn, b.score AS chosen_score,
+               w.score AS rejected_score, b.score - w.score AS margin
+        FROM r b JOIN r w ON b.conv = w.conv AND b.rb = 1 AND w.rw = 1
+        WHERE b.turn <> w.turn AND b.score - w.score >= {_DPO_MARGIN}
+        """,
+        "semantic_decontaminate": f"""
+        WITH ev AS (
+          SELECT vec_id + {_SDECON_OFFSET} AS eval_id,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 0.85 + 0.03, 4) AS FLOAT))
+                   AS embedding
+          FROM embeddings WHERE vec_id % {_SDECON_STRIDE} = 0
+        ),
+        c AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        e AS (
+          SELECT eval_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM ev
+        ),
+        p AS (
+          SELECT c.vec_id, e.eval_id,
+                 round(list_dot_product(c.v, e.v) /
+                       (sqrt(list_dot_product(c.v, c.v)) *
+                        sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+          FROM c CROSS JOIN e
+        ),
+        sel AS (
+          SELECT vec_id, eval_id, cos,
+                 max(cos) OVER (PARTITION BY vec_id) AS mc
+          FROM p
+        )
+        SELECT vec_id, mc AS max_cos,
+               min(CASE WHEN cos = mc THEN eval_id END) AS top_eval_id,
+               mc >= {_SDECON_TAU} AS contaminated
+        FROM sel GROUP BY vec_id, mc
+        """,
         "histogram_quantiles": f"""
         WITH v AS (
           SELECT CAST(length(text) AS BIGINT) AS v FROM documents

@@ -213,6 +213,8 @@ def main() -> None:
         "heavy_hitters",
         "histogram_quantiles",
         "ks_drift",
+        "dpo_pairs",
+        "semantic_decontaminate",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

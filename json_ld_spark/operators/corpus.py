@@ -593,3 +593,68 @@ def loss_mask_spans(
             "n_chars",
         )
     )
+
+
+def preference_pairs(
+    turns: DataFrame,
+    score_col: str,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    resp_role: str = "assistant",
+    min_margin: int = 1,
+) -> DataFrame:
+    """(conv, chosen_turn, rejected_turn, chosen_score,
+    rejected_score, margin): DPO/RLHF preference-pair construction —
+    per conversation, the best- and worst-scoring response turns
+    become the (chosen, rejected) pair when their score margin is
+    large enough to be a trustworthy label.
+
+    Ties break on the LOWEST turn index on both sides (deterministic
+    under any partitioning); a conversation whose best and worst are
+    the same turn (one response, or all responses tied) yields no
+    pair. Two windows over one conversation-keyed sort plus a
+    conversation-keyed self-join — every stage shares the same
+    partitioning, so the whole op is one shuffle of the response
+    turns; scores stay integers."""
+    from pyspark.sql.window import Window
+
+    cand = turns.filter(F.col(role_col) == resp_role).select(
+        F.col(conv_col).alias("conv"),
+        F.col(turn_col).alias("turn"),
+        F.col(score_col).cast("long").alias("score"),
+    )
+    wb = Window.partitionBy("conv").orderBy(
+        F.desc("score"), F.asc("turn")
+    )
+    ww = Window.partitionBy("conv").orderBy(
+        F.asc("score"), F.asc("turn")
+    )
+    ranked = cand.select(
+        "conv", "turn", "score",
+        F.row_number().over(wb).alias("_rb"),
+        F.row_number().over(ww).alias("_rw"),
+    )
+    best = ranked.filter(F.col("_rb") == 1).select(
+        "conv",
+        F.col("turn").alias("chosen_turn"),
+        F.col("score").alias("chosen_score"),
+    )
+    worst = ranked.filter(F.col("_rw") == 1).select(
+        "conv",
+        F.col("turn").alias("rejected_turn"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        best.join(worst, "conv")
+        .filter(F.col("chosen_turn") != F.col("rejected_turn"))
+        .withColumn(
+            "margin", F.col("chosen_score") - F.col("rejected_score")
+        )
+        .filter(F.col("margin") >= min_margin)
+        .select(
+            F.col("conv").alias("conv_id"),
+            "chosen_turn", "rejected_turn",
+            "chosen_score", "rejected_score", "margin",
+        )
+    )

@@ -110,3 +110,66 @@ def contamination(
             ),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    threshold: float = 0.5,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(id, max_cos, top_eval_id, contaminated): embedding-space
+    decontamination — flag training items whose embedding is too
+    close to ANY benchmark item's embedding (the semantic complement
+    of the n-gram rule above: catches paraphrased eval leakage that
+    shares no 8-gram).
+
+    Same scale shape as the n-gram pass: the eval side is small by
+    construction and is force-BROADCAST; the corpus scans once
+    through a codegen'd dot-product against every eval vector
+    (|eval|·d flops per row, no shuffle), then one groupBy on the
+    corpus id — which the broadcast join preserves, so only the
+    (id, cos) pairs move. For eval suites too big to broadcast, use
+    the IVF/LSH batch-serving joins (operators/similarity.py) as the
+    prefilter instead. ``top_eval_id`` is the argmax with min-id
+    tie-break on the ``round_dp``-rounded cosine — deterministic, so
+    a SQL oracle gates the whole pass."""
+    from json_ld_spark.functions.columns import dot, l2_norm
+
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    e = eval_set.select(
+        F.col(eval_id_col).alias("_eid"),
+        F.col(vec_col).alias("_ev"),
+        l2_norm(F.col(vec_col)).alias("_en"),
+    )
+    cos = F.round(
+        dot(F.col("_v"), F.col("_ev")) / (F.col("_n") * F.col("_en")),
+        round_dp,
+    )
+    return (
+        c.crossJoin(F.broadcast(e))
+        .select("_id", F.col("_eid"), cos.alias("_cos"))
+        .groupBy("_id")
+        .agg(
+            F.max("_cos").alias("max_cos"),
+            F.min_by(
+                "_eid",
+                F.struct(
+                    (-F.col("_cos")).alias("c"), F.col("_eid").alias("e")
+                ),
+            ).alias("top_eval_id"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "max_cos",
+            "top_eval_id",
+            (F.col("max_cos") >= threshold).alias("contaminated"),
+        )
+    )
