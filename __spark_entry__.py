@@ -2927,6 +2927,82 @@ def q_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SSSP_K = 3
+_SSSP_SEEDS = 3
+
+
+def q_entity_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest paths over the KG: edge cost =
+    10⁶ div co-occurrence count (rare associations are costly), 3
+    Bellman-Ford relaxation rounds from the 3 smallest entities —
+    the weighted generalization of the k-hop read query. Integer
+    costs keep every min deterministic; the oracle unrolls the same
+    rounds CTE-for-CTE, so a missed relaxation or a non-minimal
+    distance fails the hash."""
+    from json_ld_spark.operators.graph import sssp_bounded
+
+    t = _triples(spark, sf_dir)
+    m = t.filter(F.col("pred") == VOCAB + "of").select(
+        "conv_id", "turn_idx", F.col("obj_value").alias("entity")
+    ).localCheckpoint()
+    a, b = m.alias("a"), m.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.turn_idx") == F.col("b.turn_idx"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .groupBy(
+            F.col("a.entity").alias("src"), F.col("b.entity").alias("dst")
+        )
+        .agg(F.expr("1000000 div count(*)").alias("w"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("e"))
+        .unionByName(edges.select(F.col("dst").alias("e")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("e").limit(_SSSP_SEEDS)
+    return sssp_bounded(edges, seeds, k=_SSSP_K)
+
+
+def _sssp_oracle_sql() -> str:
+    rounds = []
+    for i in range(1, _SSSP_K + 1):
+        rounds.append(f"""
+        r{i} AS (
+          SELECT d.seed, e.t AS node, d.dist + e.w AS dist
+          FROM d{i-1} d JOIN ew e ON d.node = e.s
+        ),
+        d{i} AS (
+          SELECT seed, node, min(dist) AS dist
+          FROM (SELECT * FROM d{i-1} UNION ALL SELECT * FROM r{i})
+          GROUP BY 1, 2
+        )""")
+    return _MENTION_CTE + f""",
+        e0 AS (
+          SELECT a.iri AS s, b.iri AS t, count(*) AS c
+          FROM m a JOIN m b
+            ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+           AND a.iri < b.iri
+          GROUP BY 1, 2
+        ),
+        ew AS (
+          SELECT s, t, 1000000 // c AS w FROM e0
+          UNION ALL SELECT t, s, 1000000 // c FROM e0
+        ),
+        seeds AS (
+          SELECT seed FROM (SELECT DISTINCT s AS seed FROM ew)
+          ORDER BY seed LIMIT {_SSSP_SEEDS}
+        ),
+        d0 AS (
+          SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds
+        ),{",".join(rounds)}
+        SELECT seed, node, dist FROM d{_SSSP_K}
+    """
+
+
 _DPO_MARGIN = 5
 
 
@@ -4048,6 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "dpo_pairs": q_dpo_pairs,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "entity_sssp": q_entity_sssp,
         # -- block 2: last green driver row is r1–r3 (10) ------------
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4401,6 +4478,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_pagerank": _pagerank_oracle_sql(),
         "entity_pagerank_directed": _pagerank_oracle_sql(directed=True),
         "rdfs_entailment": _rdfs_oracle_sql(),
+        "entity_sssp": _sssp_oracle_sql(),
         "dpo_pairs": f"""
         WITH t AS ({_T_CTE}),
         cand AS (

@@ -215,6 +215,7 @@ def main() -> None:
         "ks_drift",
         "dpo_pairs",
         "semantic_decontaminate",
+        "entity_sssp",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

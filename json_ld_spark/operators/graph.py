@@ -462,3 +462,61 @@ def k_core(
         und.groupBy(F.col("src").alias("entity"))
         .agg(F.count("*").alias("degree"))
     )
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+    symmetrize: bool = True,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """(seed, node, dist): minimal WEIGHTED path cost from each seed
+    to every node reachable within ≤ k hops — k rounds of
+    Bellman-Ford relaxation as DataFrame joins (the distance-table
+    formulation; khop_neighbors is the unweighted hop-count special
+    case, this one admits integer edge costs, e.g. inverse
+    association strength on the KG).
+
+    Each round is one join (frontier-less: the WHOLE current distance
+    table relaxes — with k small that is cheaper than tracking the
+    changed set, and the min-combine dedups) + one (seed, node)
+    groupBy taking the min cost; both shuffles key on node ids, so
+    hub skew follows the degree distribution like every graph op
+    here. Integer weights keep the min deterministic, which is what
+    lets the oracle unroll the same k rounds in SQL. Rounds are
+    lineage-cut (iterative-operator discipline)."""
+    scol = seeds.columns[0]
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    if symmetrize:
+        e = e.unionByName(
+            edges.select(
+                F.col(dst).alias("s"), F.col(src).alias("t"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+        )
+    e = cut_lineage(e, checkpoint_dir)
+    dist = seeds.select(
+        F.col(scol).alias("seed"),
+        F.col(scol).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(k):
+        relax = (
+            dist.join(e, dist.node == e.s)
+            .select("seed", F.col("t").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = cut_lineage(dist, checkpoint_dir, eager=False)
+    return dist

@@ -136,3 +136,32 @@ def test_bgp_rejects_cross_join(spark, triples):
         bgp_match(
             triples, [("?a", "of", "?b"), ("?c", "partOf", "?d")]
         ).collect()
+
+
+def test_sssp_prefers_cheap_two_hop_path(spark):
+    from json_ld_spark.operators.graph import sssp_bounded
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 10), ("a", "c", 100), ("c", "d", 5)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("a",)], "e string")
+    got = {(r.seed, r.node): r.dist
+           for r in sssp_bounded(edges, seeds, k=3).collect()}
+    # a->b->c (20) beats the direct a->c edge (100)
+    assert got[("a", "c")] == 20
+    assert got[("a", "d")] == 25
+    assert got[("a", "b")] == 10
+    assert got[("a", "a")] == 0
+
+
+def test_sssp_hop_bound_limits_reach(spark):
+    from json_ld_spark.operators.graph import sssp_bounded
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", 1) for i in range(5)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("n0",)], "e string")
+    got = {r.node for r in sssp_bounded(chain, seeds, k=2).collect()}
+    assert got == {"n0", "n1", "n2"}
