@@ -2927,6 +2927,94 @@ def q_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HB_K = 2
+_HB_B = 8
+
+
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood-function estimation over the KG
+    (Boldi & Vigna 2013): per-node HLL counters propagated 2 rounds
+    along co-occurrence edges with max-merge — the web-scale
+    replacement for exact all-pairs k-hop (whose output is quadratic).
+    Register max-merge over a ball equals the sketch OF the ball, so
+    the oracle computes each node's exact 2-ball and sketches it with
+    the shared md5 register SQL — the whole propagation is
+    hash-gated down to s_scaled."""
+    from json_ld_spark.operators.graph import hyperball
+
+    return hyperball(
+        _cooccurrence_edges(spark, sf_dir), k=_HB_K, b=_HB_B
+    )
+
+
+def _hyperball_oracle_sql() -> str:
+    from json_ld_spark.operators.sketches import _SCALE_SHIFT, _alpha
+
+    b = _HB_B
+    m = 1 << b
+    rem_bits = 60 - b
+    two_rem = 1 << rem_bits
+    empty_term = 1 << _SCALE_SHIFT
+    const = _alpha(m) * m * m * float(empty_term)
+    balls = """
+        ball1 AS (
+          SELECT v, v AS u FROM nodes
+          UNION SELECT s, t FROM e0
+        ),
+        ball2 AS (
+          SELECT b1.v, e0.t AS u FROM ball1 b1 JOIN e0 ON e0.s = b1.u
+          UNION SELECT v, u FROM ball1
+        )"""
+    assert _HB_K == 2, "oracle unrolls exactly the gate's round count"
+    return _MENTION_CTE + f""",
+        e0 AS (
+          SELECT DISTINCT a.iri AS s, b.iri AS t
+          FROM m a JOIN m b
+            ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+           AND a.iri <> b.iri
+        ),
+        nodes AS (SELECT DISTINCT s AS v FROM e0),{balls},
+        h AS (
+          SELECT v, CAST(concat('0x', substring(md5(u), 1, 15))
+                         AS BIGINT) AS h
+          FROM ball2
+        ),
+        rk AS (
+          SELECT v, h // {two_rem} AS bucket,
+                 CASE WHEN h % {two_rem} = 0 THEN {rem_bits + 1}
+                      ELSE {rem_bits} - length(bin(h % {two_rem})) + 1
+                 END AS rank
+          FROM h
+        ),
+        regs AS (SELECT v, bucket, max(rank) AS r FROM rk GROUP BY 1, 2),
+        g AS (
+          SELECT v, count(*) AS nonempty,
+                 sum(CASE WHEN r <= {_SCALE_SHIFT}
+                          THEN (CAST(1 AS BIGINT) << ({_SCALE_SHIFT} - r))
+                          ELSE 0 END) AS s_nonempty
+          FROM regs GROUP BY 1
+        ),
+        s AS (
+          SELECT v, nonempty,
+                 CAST(s_nonempty + ({m} - nonempty) * {empty_term}
+                      AS BIGINT) AS s_scaled
+          FROM g
+        ),
+        e AS (
+          SELECT v, nonempty, s_scaled,
+                 {const!r} / CAST(s_scaled AS DOUBLE) AS raw,
+                 {m} - nonempty AS zeros
+          FROM s
+        )
+        SELECT v AS node, CAST({m} AS INT) AS m, nonempty, s_scaled,
+               round(CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                          THEN {float(m)!r}
+                               * ln({float(m)!r} / CAST(zeros AS DOUBLE))
+                          ELSE raw END, 2) AS est
+        FROM e
+    """
+
+
 _SSSP_K = 3
 _SSSP_SEEDS = 3
 
@@ -4125,6 +4213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpo_pairs": q_dpo_pairs,
         "semantic_decontaminate": q_semantic_decontaminate,
         "entity_sssp": q_entity_sssp,
+        "hyperball_neighborhood": q_hyperball,
         # -- block 2: last green driver row is r1–r3 (10) ------------
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4479,6 +4568,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_pagerank_directed": _pagerank_oracle_sql(directed=True),
         "rdfs_entailment": _rdfs_oracle_sql(),
         "entity_sssp": _sssp_oracle_sql(),
+        "hyperball_neighborhood": _hyperball_oracle_sql(),
         "dpo_pairs": f"""
         WITH t AS ({_T_CTE}),
         cand AS (

@@ -216,6 +216,7 @@ def main() -> None:
         "dpo_pairs",
         "semantic_decontaminate",
         "entity_sssp",
+        "hyperball_neighborhood",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

@@ -520,3 +520,67 @@ def sssp_bounded(
         )
         dist = cut_lineage(dist, checkpoint_dir, eager=False)
     return dist
+
+
+def hyperball(
+    edges: DataFrame,
+    k: int = 2,
+    b: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    symmetrize: bool = True,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """(node, m, nonempty, s_scaled, est): HyperBall (Boldi & Vigna
+    2013) — the neighborhood function N(v,k) = |{u : dist(v,u) ≤ k}|
+    estimated for EVERY node simultaneously by propagating one
+    HyperLogLog counter per node along edges for k rounds with
+    max-merge. Exact all-pairs k-hop is quadratic output at web
+    scale; HyperBall is the algorithm behind the four-degrees-of-
+    separation measurements, and its register state is O(|V|·2^b)
+    total regardless of how dense the balls get.
+
+    Registers live SPARSE as (node, bucket, r) rows (only touched
+    buckets exist — the array-update locality of the original trades
+    for Spark's shuffle machinery): init is each node's own
+    (bucket, rank) from the cross-engine md5 hash family, each round
+    joins registers to predecessors and max-merges per (node,
+    bucket) — one join + one groupBy, both keyed on node ids,
+    lineage-cut like every iterative operator here. The estimate
+    reuses hll_distinct's exact-integer harmonic arithmetic
+    (operators/sketches.py:registers_estimate), so the whole
+    k-round propagation is gateable by a SQL oracle that computes
+    the exact k-ball per node and sketches it the same way —
+    register max-merge over a ball equals the sketch OF the ball."""
+    from json_ld_spark.operators.sketches import (
+        hll_bucket_rank,
+        registers_estimate,
+    )
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    if symmetrize:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+        )
+    e = cut_lineage(e.filter(F.col("s") != F.col("t")).dropDuplicates(),
+                    checkpoint_dir)
+    nodes = (
+        e.select(F.col("s").alias("group"))
+        .unionByName(e.select(F.col("t").alias("group")))
+        .dropDuplicates()
+    )
+    bucket, rank = hll_bucket_rank("group", b)
+    regs = nodes.select("group", bucket.alias("bucket"), rank.alias("r"))
+    regs = cut_lineage(regs, checkpoint_dir)
+    for _ in range(k):
+        pulled = (
+            regs.join(e, regs.group == e.t)
+            .select(F.col("s").alias("group"), "bucket", "r")
+        )
+        regs = (
+            regs.unionByName(pulled)
+            .groupBy("group", "bucket")
+            .agg(F.max("r").alias("r"))
+        )
+        regs = cut_lineage(regs, checkpoint_dir, eager=False)
+    return registers_estimate(regs, b, group_col="node")

@@ -107,7 +107,6 @@ def hll_distinct(
     published."""
     if not 4 <= b <= 12:
         raise ValueError("b must be in [4, 12] (register count 16..4096)")
-    m = 1 << b
     # leading zeros of rem within rem_bits, +1: bitlength via bin()
     # (both engines return '0' for 0, so 0 is special-cased)
     bucket, rank = hll_bucket_rank(value_col, b)
@@ -117,6 +116,17 @@ def hll_distinct(
         .groupBy("group", "bucket")
         .agg(F.max("rank").alias("r"))
     )
+    return registers_estimate(regs, b, group_col=group_col)
+
+
+def registers_estimate(
+    regs: DataFrame, b: int, group_col: str = "group"
+) -> DataFrame:
+    """(group, m, nonempty, s_scaled, est) from a sparse register
+    table (group, bucket, r) — the estimate half of hll_distinct,
+    shared with HyperBall (operators/graph.py), whose registers come
+    from k rounds of edge propagation instead of one aggregation."""
+    m = 1 << b
     # Σ 2^(51-r) over non-empty registers; ranks past the scale shift
     # truncate to 0 in BOTH engines (identical deterministic loss)
     term = F.when(

@@ -86,3 +86,41 @@ def test_ks_identical_samples_zero(spark):
     df = spark.createDataFrame(rows, "v long, side boolean")
     row = ks_two_sample(df, "v", "side").collect()[0]
     assert row.ks_ppm == 0
+
+
+def test_hyperball_equals_sketch_of_exact_ball(spark):
+    from json_ld_spark.operators.graph import hyperball
+    from json_ld_spark.operators.sketches import hll_distinct
+
+    # two chains sharing no nodes + a star
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),
+         ("x", "y"), ("hub", "s1"), ("hub", "s2"), ("hub", "s3")],
+        "src string, dst string",
+    )
+    got = {r.node: (r.nonempty, r.s_scaled, r.est)
+           for r in hyperball(edges, k=2, b=8).collect()}
+    # exact undirected 2-balls
+    balls = {
+        "a": {"a", "b", "c"}, "b": {"a", "b", "c", "d"},
+        "c": {"a", "b", "c", "d"}, "d": {"b", "c", "d"},
+        "x": {"x", "y"}, "y": {"x", "y"},
+        "hub": {"hub", "s1", "s2", "s3"},
+        "s1": {"hub", "s1", "s2", "s3"},
+        "s2": {"hub", "s1", "s2", "s3"},
+        "s3": {"hub", "s1", "s2", "s3"},
+    }
+    # HyperBall's max-merged registers must equal the registers of a
+    # direct HLL sketch over the exact ball membership — the identity
+    # the oracle relies on
+    rows = [(v, u) for v, ball in balls.items() for u in ball]
+    direct = {
+        r.v: (r.nonempty, r.s_scaled, r.est)
+        for r in hll_distinct(
+            spark.createDataFrame(rows, "v string, u string"), "v", "u", b=8
+        ).collect()
+    }
+    assert got == direct
+    # with 256 registers and tiny balls, linear counting is near-exact
+    for v, ball in balls.items():
+        assert abs(got[v][2] - len(ball)) < 0.5, (v, got[v][2], len(ball))
