@@ -2927,6 +2927,116 @@ def q_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog between two KG materializations: the current build
+    vs a stale policy snapshot (tool turns excluded — whose nextTurn
+    chains re-link over the remaining turns, so the diff carries
+    both added AND removed rows). Two anti-joins on the triple key;
+    unchanged triples never leave their map side. The oracle rebuilds
+    BOTH snapshots and diffs them with set-semantics EXCEPT."""
+    from json_ld_spark.operators.jsonld_ops import emit_triples, valid_triples
+    from json_ld_spark.operators.lifecycle import snapshot_diff
+
+    new = _triples(spark, sf_dir)
+    old = valid_triples(
+        emit_triples(_derived(spark, sf_dir).filter(F.col("role") != "tool"))
+    )
+    return snapshot_diff(
+        old, new, ["subj", "pred", "obj_value", "obj_is_iri"]
+    )
+
+
+_SCD2_TIER_DIV = 8
+
+
+def q_kg_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing-dimension) merge of the entity
+    dimension: version 1 = mention tiers counted over user turns
+    only, merged with the full-corpus snapshot — entities whose tier
+    moved get a closed version-1 row + an open version-2 row,
+    unchanged tiers pass through, newly-seen entities insert at
+    version 1. The warehouse MERGE INTO shape as pure DataFrame
+    transforms; the oracle replays every branch."""
+    from json_ld_spark.operators.lifecycle import scd2_merge
+
+    t = _triples(spark, sf_dir)
+    m = t.filter(F.col("pred") == VOCAB + "of").select(
+        "conv_id", "turn_idx", F.col("obj_value").alias("entity")
+    )
+    roles = _derived(spark, sf_dir).select("conv_id", "turn_idx", "role")
+    mm = m.join(roles, ["conv_id", "turn_idx"]).localCheckpoint()
+    tier = F.expr(f"count(*) div {_SCD2_TIER_DIV}").alias("tier")
+    a = mm.filter(F.col("role") == "user").groupBy("entity").agg(tier)
+    b = mm.groupBy("entity").agg(tier)
+    current = a.select(
+        "entity", "tier",
+        F.lit(1).cast("int").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return scd2_merge(current, b, ["entity"], ["tier"])
+
+
+_WALK_LEN = 3
+_WALKS_PER_NODE = 2
+
+
+def q_entity_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus over the KG co-occurrence graph —
+    skip-gram training input for entity embeddings. The per-step
+    choice is the md5 family over (walk_id, step) mod out-degree, so
+    the full walk corpus is deterministic and the oracle unrolls the
+    identical steps; each step is one (node, rank) equi-join."""
+    from json_ld_spark.operators.kg_train import deterministic_walks
+
+    return deterministic_walks(
+        _cooccurrence_edges(spark, sf_dir),
+        walk_len=_WALK_LEN,
+        walks_per_node=_WALKS_PER_NODE,
+    )
+
+
+def _walks_oracle_sql() -> str:
+    h = (
+        "CAST(concat('0x', substring(md5(c{i}.walk_id || '|' || '{t}'),"
+        " 1, 15)) AS BIGINT)"
+    )
+    rounds, arms = [], ["SELECT walk_id, 0 AS step, node FROM c0"]
+    for t in range(1, _WALK_LEN + 1):
+        hh = h.format(i=t - 1, t=t)
+        rounds.append(f"""
+        p{t} AS (
+          SELECT c{t-1}.walk_id, c{t-1}.node,
+                 {hh} % deg.outdeg + 1 AS pk
+          FROM c{t-1} JOIN deg ON deg.s = c{t-1}.node
+        ),
+        c{t} AS (
+          SELECT p{t}.walk_id, nbr.t AS node
+          FROM p{t} JOIN nbr ON nbr.s = p{t}.node AND nbr.rk = p{t}.pk
+        )""")
+        arms.append(f"SELECT walk_id, {t} AS step, node FROM c{t}")
+    wvals = ", ".join(f"'{i}'" for i in range(_WALKS_PER_NODE))
+    return _MENTION_CTE + f""",
+        e0 AS (
+          SELECT DISTINCT a.iri AS s, b.iri AS t
+          FROM m a JOIN m b
+            ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+           AND a.iri <> b.iri
+        ),
+        nbr AS (
+          SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY t)
+                   AS rk
+          FROM e0
+        ),
+        deg AS (SELECT s, count(*) AS outdeg FROM e0 GROUP BY 1),
+        c0 AS (
+          SELECT n.s || '#' || w.w AS walk_id, n.s AS node
+          FROM (SELECT DISTINCT s FROM e0) n,
+               (SELECT unnest([{wvals}]) AS w) w
+        ),{",".join(rounds)}
+        {" UNION ALL ".join(arms)}
+    """
+
+
 _HB_K = 2
 _HB_B = 8
 
@@ -4214,6 +4324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": q_semantic_decontaminate,
         "entity_sssp": q_entity_sssp,
         "hyperball_neighborhood": q_hyperball,
+        "entity_walks": q_entity_walks,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
+        "kg_scd2_merge": q_kg_scd2_merge,
         # -- block 2: last green driver row is r1–r3 (10) ------------
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4277,6 +4390,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_in_windows": q_events_in_windows,
         "source_percentiles": q_source_percentiles,
     }
+
+
+def _mention_chain_cte(t: str, m: str, r: str, b: str,
+                       where: str = "") -> str:
+    """The t→mentions→ranked→bnode CTE chain of _MENTION_CTE with
+    parameterized CTE names (so one WITH clause can hold two
+    snapshots), plus a `base` twin named ``{t}base``. ``where`` is
+    appended to the transcript derivation (window functions evaluate
+    after WHERE, so lead() re-chains over the filtered turns — the
+    same recomputation with_stable_turn_order performs)."""
+    return f"""
+    {t} AS ({_T_CTE}{where}),
+    {t}base AS (
+      SELECT '{TURN_NS}' || conv_id || '/' || turn_idx AS turn,
+             '{CONV_NS}' || conv_id AS conv, *
+      FROM {t}
+    ),
+    {m} AS (
+      SELECT {t}.conv_id, {t}.turn_idx, g.entity_id, g.surface, g.iri,
+             CAST((length({t}.text) - length(replace({t}.text, g.surface, '')))
+                  / length(g.surface) AS BIGINT) AS cnt
+      FROM {t} JOIN {_gazetteer_values()}
+        ON contains({t}.text, g.surface)
+    ),
+    {r} AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY entity_id) - 1 AS rnk
+      FROM {m}
+    ),
+    {b} AS (
+      SELECT '{TURN_NS}' || conv_id || '/' || turn_idx AS turn,
+             '_:' || conv_id || 't' || turn_idx || 'm' || rnk AS bn, *
+      FROM {r}
+    )"""
+
+
+def _triples_union_arms(base: str, b: str) -> str:
+    """The 14-arm (subj, pred, obj_value, obj_is_iri) union that
+    rebuilds the emitted triple set from a `base` CTE (turn/conv
+    meta) and a `b` CTE (mention bnodes)."""
+    return f"""
+      SELECT turn AS subj, '{RDFNS}type' AS pred,
+             '{VOCAB}Turn' AS obj_value, TRUE AS obj_is_iri FROM {base}
+      UNION ALL SELECT turn, '{VOCAB}index', CAST(turn_idx AS VARCHAR),
+                       FALSE FROM {base}
+      UNION ALL SELECT turn, '{VOCAB}partOf', conv, TRUE FROM {base}
+      UNION ALL SELECT DISTINCT conv, '{RDFNS}type',
+                       '{VOCAB}Conversation', TRUE FROM {base}
+      UNION ALL SELECT turn, '{VOCAB}role', role, FALSE FROM {base}
+      UNION ALL SELECT turn, '{VOCAB}text', text, FALSE FROM {base}
+      UNION ALL SELECT turn, '{VOCAB}tool', tool, FALSE FROM {base}
+                WHERE tool IS NOT NULL
+      UNION ALL SELECT turn, '{VOCAB}ts',
+                       strftime(ts, '%Y-%m-%dT%H:%M:%S'), FALSE FROM {base}
+      UNION ALL SELECT turn, '{VOCAB}nextTurn',
+                       '{TURN_NS}' || conv_id || '/' || next_turn_idx, TRUE
+                FROM {base} WHERE next_turn_idx IS NOT NULL
+      UNION ALL SELECT turn, '{VOCAB}mentions', bn, TRUE FROM {b}
+      UNION ALL SELECT bn, '{RDFNS}type', '{VOCAB}Mention', TRUE FROM {b}
+      UNION ALL SELECT bn, '{VOCAB}label', surface, FALSE FROM {b}
+      UNION ALL SELECT bn, '{VOCAB}score', CAST(cnt AS VARCHAR), FALSE
+                FROM {b}
+      UNION ALL SELECT bn, '{VOCAB}of', iri, TRUE FROM {b}
+    """
+
+
+def _snapshot_diff_oracle_sql() -> str:
+    """Changelog between the current materialization and a stale
+    'tool turns excluded' policy snapshot: both snapshots rebuilt
+    CTE-for-CTE (the old one re-chains nextTurn over the filtered
+    turns), diffed with set-semantics EXCEPT."""
+    key = "subj, pred, obj_value, obj_is_iri"
+    return f"""
+    WITH {_mention_chain_cte('t', 'm', 'r', 'b')},
+    {_mention_chain_cte('told', 'mold', 'rold', 'bold',
+                        " WHERE role <> 'tool'")},
+    newt AS ({_triples_union_arms('tbase', 'b')}),
+    oldt AS ({_triples_union_arms('toldbase', 'bold')}),
+    a AS (
+      SELECT {key} FROM newt EXCEPT SELECT {key} FROM oldt
+    ),
+    rm AS (
+      SELECT {key} FROM oldt EXCEPT SELECT {key} FROM newt
+    )
+    SELECT {key}, 'added' AS change FROM a
+    UNION ALL
+    SELECT {key}, 'removed' AS change FROM rm
+    """
 
 
 def _rdfs_oracle_sql() -> str:
@@ -4569,6 +4770,38 @@ def oracle_sql() -> dict[str, str]:
         "rdfs_entailment": _rdfs_oracle_sql(),
         "entity_sssp": _sssp_oracle_sql(),
         "hyperball_neighborhood": _hyperball_oracle_sql(),
+        "entity_walks": _walks_oracle_sql(),
+        "kg_snapshot_diff": _snapshot_diff_oracle_sql(),
+        "kg_scd2_merge": _MENTION_CTE + f"""
+        , mm AS (
+          SELECT m.iri AS entity, t.role
+          FROM m JOIN t ON m.conv_id = t.conv_id
+                       AND m.turn_idx = t.turn_idx
+        ),
+        a AS (
+          SELECT entity, count(*) // {_SCD2_TIER_DIV} AS tier
+          FROM mm WHERE role = 'user' GROUP BY 1
+        ),
+        bb AS (
+          SELECT entity, count(*) // {_SCD2_TIER_DIV} AS tier
+          FROM mm GROUP BY 1
+        )
+        SELECT a.entity, a.tier, CAST(1 AS INT) AS version,
+               TRUE AS is_current
+        FROM a JOIN bb ON a.entity = bb.entity AND a.tier = bb.tier
+        UNION ALL
+        SELECT a.entity, a.tier, CAST(1 AS INT), FALSE
+        FROM a JOIN bb ON a.entity = bb.entity AND a.tier <> bb.tier
+        UNION ALL
+        SELECT bb.entity, bb.tier, CAST(2 AS INT), TRUE
+        FROM a JOIN bb ON a.entity = bb.entity AND a.tier <> bb.tier
+        UNION ALL
+        SELECT bb.entity, bb.tier, CAST(1 AS INT), TRUE
+        FROM bb ANTI JOIN a ON bb.entity = a.entity
+        UNION ALL
+        SELECT a.entity, a.tier, CAST(1 AS INT), FALSE
+        FROM a ANTI JOIN bb ON a.entity = bb.entity
+        """,
         "dpo_pairs": f"""
         WITH t AS ({_T_CTE}),
         cand AS (

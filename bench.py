@@ -217,6 +217,9 @@ def main() -> None:
         "semantic_decontaminate",
         "entity_sssp",
         "hyperball_neighborhood",
+        "entity_walks",
+        "kg_snapshot_diff",
+        "kg_scd2_merge",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

@@ -135,3 +135,71 @@ def contrastive_pairs(
             "pos_id", "neg_id", "pos_cosine", "neg_cosine",
         )
     )
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    symmetrize: bool = True,
+) -> DataFrame:
+    """(walk_id, step, node): DeepWalk/node2vec-style walk corpus
+    over the KG — ``walks_per_node`` walks of ``walk_len`` steps from
+    every node, the standard skip-gram training input for graph
+    embeddings (Perozzi et al. 2014, public knowledge).
+
+    The "random" choice at step t is the cross-engine md5 family
+    hashed over (walk_id, t) taken mod the current node's out-degree
+    — deterministic under any partitioning, so the SQL oracle can
+    unroll the identical steps; statistically it is a fixed-seed
+    uniform walk. Neighbor selection is an equi-join on
+    (node, rank): neighbors are ranked per node by a window, the
+    hash picks a rank arithmetically. Every step is one join keyed
+    on node ids (hub skew = degree skew, the usual story); degree
+    and rank tables are computed once and reused across steps."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    if symmetrize:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+        )
+    e = e.filter(F.col("s") != F.col("t")).dropDuplicates().localCheckpoint()
+    nbr = e.select(
+        "s", "t",
+        F.row_number().over(
+            Window.partitionBy("s").orderBy("t")
+        ).alias("rk"),
+    )
+    deg = e.groupBy("s").agg(F.count("*").alias("outdeg"))
+    nodes = e.select(F.col("s").alias("n0")).dropDuplicates()
+    cur = nodes.select(
+        "n0",
+        F.explode(
+            F.array(*[F.lit(str(i)) for i in range(walks_per_node)])
+        ).alias("w"),
+    ).select(
+        F.concat_ws("#", F.col("n0"), F.col("w")).alias("walk_id"),
+        F.col("n0").alias("node"),
+    )
+    out = cur.select("walk_id", F.lit(0).alias("step"), "node")
+    for t in range(1, walk_len + 1):
+        pick = cur.join(deg, cur.node == deg.s).select(
+            "walk_id", "node",
+            (
+                md5_hash60(
+                    F.concat_ws("|", F.col("walk_id"), F.lit(str(t)))
+                ) % F.col("outdeg") + 1
+            ).alias("_pick"),
+        )
+        cur = (
+            pick.join(
+                nbr,
+                (pick.node == nbr.s) & (pick._pick == nbr.rk),
+            )
+            .select("walk_id", F.col("t").alias("node"))
+        )
+        out = out.unionByName(
+            cur.select("walk_id", F.lit(t).alias("step"), "node")
+        )
+    return out
