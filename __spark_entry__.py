@@ -2927,6 +2927,62 @@ def q_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60
+_RRF_OUT_K = 10
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of two retrieval runs over the same 5
+    queries — BM25 and a distinct-term-overlap ranking — the standard
+    calibration-free rank combiner (Cormack et al. 2009). Fusion
+    consumes only the runs' top-k rows (never the corpus), integer
+    contributions 10⁶ div (k+rank); the oracle replays both runs and
+    the fused ordering."""
+    from json_ld_spark.operators.textstats import rrf_fuse
+
+    run1 = q_bm25_retrieval(spark, sf_dir).select(
+        "query_id", "doc_id", "rank"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    words = (
+        docs.select("doc_id", norm.alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.col("_t"), " "))
+            ).alias("term"),
+        )
+    )
+    qdf = spark.createDataFrame(
+        _RETRIEVAL_QUERIES, "query_id int, query_text string"
+    )
+    qnorm = F.trim(
+        F.regexp_replace(F.lower(F.col("query_text")), "\\s+", " ")
+    )
+    qterms = qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(F.split(qnorm, " "))).alias("term"),
+    )
+    ov = (
+        words.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("ov"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ov"), F.col("doc_id")
+    )
+    run2 = (
+        ov.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _RRF_OUT_K)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rrf_fuse([run1, run2], k_const=_RRF_K, out_k=_RRF_OUT_K)
+
+
 def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog between two KG materializations: the current build
     vs a stale policy snapshot (tool turns excluded — whose nextTurn
@@ -4327,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_walks": q_entity_walks,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_scd2_merge": q_kg_scd2_merge,
+        "rrf_fusion": q_rrf_fusion,
         # -- block 2: last green driver row is r1–r3 (10) ------------
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
@@ -7302,6 +7359,51 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY score_ppm DESC, doc_id) AS rk
               FROM totals)
         WHERE rk <= {_BM25_K}
+        """
+    d["rrf_fusion"] = f"""
+        WITH run1 AS ({d["bm25_retrieval"]}),
+        w2 AS (SELECT doc_id, {norm} AS tt FROM documents),
+        wt AS (
+          SELECT doc_id, unnest(list_distinct(string_split(tt, ' ')))
+                   AS term
+          FROM w2 WHERE length(tt) > 0
+        ),
+        q2(query_id, query_text) AS (VALUES {_rq_values}),
+        qt2 AS (
+          SELECT query_id,
+                 unnest(list_distinct(string_split(
+                   trim(regexp_replace(lower(query_text),
+                                       '\\s+', ' ', 'g')), ' '))) AS term
+          FROM q2
+        ),
+        ov AS (
+          SELECT qt2.query_id, wt.doc_id, count(*) AS ov
+          FROM wt JOIN qt2 USING (term) GROUP BY 1, 2
+        ),
+        run2 AS (
+          SELECT query_id, doc_id, CAST(rk AS INT) AS rank
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY ov DESC, doc_id) AS rk
+                FROM ov)
+          WHERE rk <= {_RRF_OUT_K}
+        ),
+        u AS (
+          SELECT query_id, doc_id, rank FROM run1
+          UNION ALL SELECT query_id, doc_id, rank FROM run2
+        ),
+        f AS (
+          SELECT query_id, doc_id,
+                 CAST(sum(1000000 // ({_RRF_K} + rank)) AS BIGINT)
+                   AS rrf_ppm,
+                 CAST(count(*) AS INT) AS n_runs
+          FROM u GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, rrf_ppm, n_runs, CAST(rk AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY rrf_ppm DESC, doc_id) AS rk
+              FROM f)
+        WHERE rk <= {_RRF_OUT_K}
         """
     # structurally independent oracle: brute cross-join + levenshtein,
     # no blocking — validates the SymSpell neighborhood's recall too

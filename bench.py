@@ -220,6 +220,7 @@ def main() -> None:
         "entity_walks",
         "kg_snapshot_diff",
         "kg_scd2_merge",
+        "rrf_fusion",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

@@ -701,3 +701,43 @@ def luhn_valid(card: Column, n_digits: int = 16) -> Column:
     for t in terms[1:]:
         total = total + t
     return F.pmod(total, 10) == 0
+
+
+def rrf_fuse(
+    runs: "list[DataFrame]",
+    k_const: int = 60,
+    out_k: int = 10,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(query, doc, rrf_ppm, n_runs, rank): Reciprocal Rank Fusion
+    (Cormack et al. 2009) of N retrieval runs — the standard way to
+    combine lexical and semantic rankings without score calibration,
+    since only RANKS enter: score = Σ_runs 10⁶ div (k + rank).
+
+    Integer contributions (truncating div, same in both engines) make
+    the fused ordering engine-exact; ties break on doc id. One union
+    + one (query, doc) groupBy + one per-query top-k window — the
+    fusion input is only the runs' top-k rows (k·|queries|·N), never
+    the corpus, so cost is independent of corpus size."""
+    from pyspark.sql import Window
+
+    tagged = runs[0].select(qid_col, id_col, rank_col)
+    for r in runs[1:]:
+        tagged = tagged.unionByName(r.select(qid_col, id_col, rank_col))
+    contrib = F.expr(f"1000000 div ({k_const} + {rank_col})")
+    fused = (
+        tagged.groupBy(qid_col, id_col)
+        .agg(
+            F.sum(contrib).alias("rrf_ppm"),
+            F.count("*").cast("int").alias("n_runs"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("rrf_ppm"), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= out_k)
+    )

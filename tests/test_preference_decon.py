@@ -80,3 +80,23 @@ def test_semantic_decontaminate_argmax_min_id_tie(spark):
     r = semantic_decontaminate(corpus, ev, threshold=0.5).collect()[0]
     # both eval vectors have cosine 1.0 -> lowest eval_id wins
     assert (r.max_cos, r.top_eval_id, r.contaminated) == (1.0, 100, True)
+
+
+def test_rrf_fusion_arithmetic(spark):
+    from json_ld_spark.operators.textstats import rrf_fuse
+
+    run1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id int, doc_id long, rank int",
+    )
+    run2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id int, doc_id long, rank int",
+    )
+    got = {r.doc_id: (r.rrf_ppm, r.n_runs, r.rank)
+           for r in rrf_fuse([run1, run2], k_const=60, out_k=10).collect()}
+    # doc 11: 10^6 div 62 + 10^6 div 61 = 16129 + 16393
+    assert got[11] == (16129 + 16393, 2, 1)
+    assert got[10] == (1000000 // 61, 1, 2)
+    assert got[13] == (1000000 // 62, 1, 3)
+    assert got[12] == (1000000 // 63, 1, 4)
