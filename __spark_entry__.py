@@ -2927,6 +2927,16 @@ def q_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style character-entropy quality signal per document:
+    each char's -(p·ln p) term snaps to integer ppm BEFORE the sum
+    (the BM25 discipline), so the entropy is an exact integer under
+    any partitioning. Shuffle carries ≤ |alphabet| rows per doc."""
+    from json_ld_spark.operators.textstats import char_entropy
+
+    return char_entropy(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 _RRF_K = 60
 _RRF_OUT_K = 10
 
@@ -4384,6 +4394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_scd2_merge": q_kg_scd2_merge,
         "rrf_fusion": q_rrf_fusion,
+        "char_entropy": q_char_entropy,
         # -- block 2: last green driver row is r1–r3 (10) ------------
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4829,6 +4840,28 @@ def oracle_sql() -> dict[str, str]:
         "hyperball_neighborhood": _hyperball_oracle_sql(),
         "entity_walks": _walks_oracle_sql(),
         "kg_snapshot_diff": _snapshot_diff_oracle_sql(),
+        "char_entropy": """
+        WITH ch AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS ch
+          FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (
+          SELECT doc_id, ch, count(*) AS cnt
+          FROM ch WHERE ch <> '' GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+                 count(*) AS n_distinct_chars
+          FROM c GROUP BY 1
+        )
+        SELECT c.doc_id, t.n_chars, t.n_distinct_chars,
+               CAST(sum(CAST(round(
+                 -(CAST(cnt AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                  * ln(CAST(cnt AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                  * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS entropy_ppm
+        FROM c JOIN t USING (doc_id)
+        GROUP BY 1, 2, 3
+        """,
         "kg_scd2_merge": _MENTION_CTE + f"""
         , mm AS (
           SELECT m.iri AS entity, t.role

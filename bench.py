@@ -221,6 +221,7 @@ def main() -> None:
         "kg_snapshot_diff",
         "kg_scd2_merge",
         "rrf_fusion",
+        "char_entropy",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

@@ -741,3 +741,48 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= out_k)
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_chars, n_distinct_chars, entropy_ppm): Shannon entropy
+    of each document's character distribution — the CCNet-family
+    gibberish/boilerplate filter (low entropy = repeated padding,
+    high entropy near log|alphabet| = encrypted/binary junk).
+
+    Float entropy is a sum whose order Spark does not fix, so each
+    character's term -(p·ln p) is SNAPPED to integer ppm first (the
+    BM25 discipline) and the entropy is their EXACT integer sum —
+    deterministic under any partitioning and replayable by the
+    oracle. One narrow char explode + two id-keyed aggregations
+    (char counts partial-aggregate map-side: the shuffle carries at
+    most |alphabet| rows per document, not |text|)."""
+    chars = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+    )
+    counts = chars.groupBy("id", "ch").agg(F.count("*").alias("cnt"))
+    totals = counts.groupBy("id").agg(
+        F.sum("cnt").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n_chars").cast("double")
+    term_ppm = F.round(-(p * F.log(p)) * F.lit(1000000.0), 0).cast("long")
+    return (
+        counts.join(totals, "id")
+        .select("id", "n_chars", "n_distinct_chars",
+                term_ppm.alias("_t"))
+        .groupBy("id", "n_chars", "n_distinct_chars")
+        .agg(F.sum("_t").alias("entropy_ppm"))
+        .select(
+            F.col("id").alias(id_col),
+            "n_chars", "n_distinct_chars", "entropy_ppm",
+        )
+    )

@@ -100,3 +100,23 @@ def test_rrf_fusion_arithmetic(spark):
     assert got[10] == (1000000 // 61, 1, 2)
     assert got[13] == (1000000 // 62, 1, 3)
     assert got[12] == (1000000 // 63, 1, 4)
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from json_ld_spark.operators.textstats import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_chars, r.n_distinct_chars, r.entropy_ppm)
+           for r in char_entropy(docs).collect()}
+    assert got[1] == (4, 1, 0)                      # constant -> 0
+    # uniform over 2 symbols: 2 terms of 0.5*ln 2 ppm each
+    half = round(0.5 * math.log(2) * 1e6)
+    assert got[2] == (4, 2, 2 * half)
+    quarter = round(0.25 * math.log(4) * 1e6)
+    assert got[3] == (4, 4, 4 * quarter)
+    assert 4 not in got                             # NULL text dropped
