@@ -2888,7 +2888,10 @@ def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     or a lost/duplicated binding fails the hash."""
     from json_ld_spark.operators.reasoning import bgp_match
 
-    t = _triples(spark, sf_dir)
+    # three patterns each scan the triple table; stage it once
+    t = _triples(spark, sf_dir).select(
+        "subj", "pred", "obj_value"
+    ).localCheckpoint()
     pats = [
         tuple(VOCAB + x if not x.startswith("?") else x for x in p)
         for p in _BGP_PATTERNS

@@ -31,9 +31,12 @@ def snapshot_diff(
     ``old``, comparing DISTINCT keys — the triple changelog between
     two KG materializations. Two co-partitioned anti-joins on the
     full key; unchanged rows (the overwhelming majority between
-    adjacent snapshots) never leave their map side."""
-    o = old.select(*key_cols).dropDuplicates()
-    n = new.select(*key_cols).dropDuplicates()
+    adjacent snapshots) never leave their map side. Each side feeds
+    BOTH anti-joins, so the deduped projections are localCheckpointed
+    — without it a derived input (e.g. the full emission pipeline)
+    is recomputed once per direction."""
+    o = old.select(*key_cols).dropDuplicates().localCheckpoint()
+    n = new.select(*key_cols).dropDuplicates().localCheckpoint()
     added = n.join(o, key_cols, "left_anti").withColumn(
         "change", F.lit("added")
     )

@@ -65,6 +65,33 @@ def transitive_closure(
     return closed
 
 
+def close_pairs(pairs: "list[tuple[str, str]]") -> "list[tuple[str, str]]":
+    """Transitive closure of a DIMENSION-SIZED edge list, driver-side
+    (plain BFS). The RDFS schema is a trained-artifact-sized input —
+    the same policy as BPE merge tables and IVF codebooks: a few
+    hundred rows are closed in microseconds in Python, where the
+    distributed pointer-doubling closure costs log(depth) Spark jobs
+    of pure launch latency. Use transitive_closure for hierarchies
+    that are actually large."""
+    from collections import defaultdict
+
+    adj: "defaultdict[str, set]" = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+    out: "set[tuple[str, str]]" = set()
+    for start in list(adj):
+        seen: set = set()
+        stack = list(adj[start])
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(adj.get(n, ()))
+        out.update((start, n) for n in seen)
+    return sorted(out)
+
+
 def rdfs_entail(
     facts: DataFrame,
     subclass_of: DataFrame,
@@ -72,6 +99,8 @@ def rdfs_entail(
     domain: DataFrame,
     range_: DataFrame,
     max_depth: int = 16,
+    materialize: bool = True,
+    schema_local: bool = True,
 ) -> DataFrame:
     """Entailed triple set (asserted ∪ inferred, distinct) under the
     RDFS rules rdfs5/11 (hierarchy transitivity — precomputed on the
@@ -85,10 +114,39 @@ def rdfs_entail(
 
     Every schema side is broadcast; the fact table is scanned once
     per rule with no shuffle on the fact side (the final distinct is
-    the one fact-sized shuffle, keyed on the full triple)."""
+    the one fact-sized shuffle, keyed on the full triple).
+
+    ``materialize=True`` (default) localCheckpoints the fact table
+    first: four rules plus the pass-through each re-evaluate their
+    input, and when facts come out of a derivation pipeline (here:
+    the whole JSON-LD emission) that is 5 recomputations of the
+    expensive subtree — the same self-join staging rule as
+    q_entity_cooccurrence. Pass False when facts are already a cheap
+    scan."""
+    if materialize:
+        facts = facts.select(
+            "subj", "pred", "obj_value", "obj_is_iri"
+        ).localCheckpoint()
     f0 = facts.select("subj", "pred", "obj_value", "obj_is_iri")
-    cls = F.broadcast(transitive_closure(subclass_of, max_depth=max_depth))
-    prp = F.broadcast(transitive_closure(subproperty_of, max_depth=max_depth))
+    if schema_local:
+        # schema tables are dimension-sized by contract: collect is a
+        # K-row artifact fetch, and closing them driver-side removes
+        # 2·log(depth) schema-only Spark jobs from the plan
+        spark = facts.sparkSession
+
+        def closed_local(df: DataFrame) -> DataFrame:
+            pairs = close_pairs([(r[0], r[1]) for r in df.collect()])
+            return spark.createDataFrame(pairs, "sub string, sup string")
+
+        cls = F.broadcast(closed_local(subclass_of))
+        prp = F.broadcast(closed_local(subproperty_of))
+    else:
+        cls = F.broadcast(
+            transitive_closure(subclass_of, max_depth=max_depth)
+        )
+        prp = F.broadcast(
+            transitive_closure(subproperty_of, max_depth=max_depth)
+        )
     dom = F.broadcast(domain.select(F.col("prop"), F.col("cls")))
     rng = F.broadcast(range_.select(F.col("prop"), F.col("cls")))
 

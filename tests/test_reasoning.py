@@ -165,3 +165,14 @@ def test_sssp_hop_bound_limits_reach(spark):
     seeds = spark.createDataFrame([("n0",)], "e string")
     got = {r.node for r in sssp_bounded(chain, seeds, k=2).collect()}
     assert got == {"n0", "n1", "n2"}
+
+
+def test_close_pairs_matches_distributed_closure(spark):
+    from json_ld_spark.operators.reasoning import close_pairs
+
+    edges = [(f"c{i}", f"c{i+1}") for i in range(5)] + [("x", "c2")]
+    df = spark.createDataFrame(edges, "sub string, sup string")
+    dist = {(r.sub, r.sup)
+            for r in transitive_closure(df, max_depth=6).collect()}
+    assert set(close_pairs(edges)) == dist
+    assert close_pairs([]) == []
