@@ -2930,6 +2930,26 @@ def q_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite shape validation of the emitted KG — the publish
+    gate: a functional-property check (demo constraint: at most one
+    mention per turn, so multi-mention turns report their actual
+    count) and a required-property check (every Turn must carry
+    kg:tool — non-tool turns are flagged with n=0). One groupBy over
+    the constrained predicates + one subj-keyed anti-join; the
+    triple scan is staged once for both checks."""
+    from json_ld_spark.operators.reasoning import validate_shapes
+
+    t = _triples(spark, sf_dir).select(
+        "subj", "pred", "obj_value"
+    ).localCheckpoint()
+    return validate_shapes(
+        t,
+        functional=[VOCAB + "mentions"],
+        required=[(VOCAB + "Turn", VOCAB + "tool")],
+    )
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style character-entropy quality signal per document:
     each char's -(p·ln p) term snaps to integer ppm BEFORE the sum
@@ -4398,6 +4418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scd2_merge": q_kg_scd2_merge,
         "rrf_fusion": q_rrf_fusion,
         "char_entropy": q_char_entropy,
+        "kg_validate": q_kg_validate,
         # -- block 2: last green driver row is r1–r3 (10) ------------
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4843,6 +4864,20 @@ def oracle_sql() -> dict[str, str]:
         "hyperball_neighborhood": _hyperball_oracle_sql(),
         "entity_walks": _walks_oracle_sql(),
         "kg_snapshot_diff": _snapshot_diff_oracle_sql(),
+        "kg_validate": _MENTION_CTE + f"""
+        , base AS (
+          SELECT '{TURN_NS}' || conv_id || '/' || turn_idx AS turn, *
+          FROM t
+        )
+        SELECT 'functional' AS rule, subj, '{VOCAB}mentions' AS pred, n
+        FROM (
+          SELECT turn AS subj, count(DISTINCT bn) AS n
+          FROM b GROUP BY 1 HAVING count(DISTINCT bn) > 1
+        )
+        UNION ALL
+        SELECT 'required', turn, '{VOCAB}tool', CAST(0 AS BIGINT)
+        FROM base WHERE tool IS NULL
+        """,
         "char_entropy": """
         WITH ch AS (
           SELECT doc_id, unnest(string_split(text, '')) AS ch

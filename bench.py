@@ -222,6 +222,7 @@ def main() -> None:
         "kg_scd2_merge",
         "rrf_fusion",
         "char_entropy",
+        "kg_validate",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

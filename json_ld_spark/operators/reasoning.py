@@ -254,3 +254,55 @@ def bgp_match(
     if select:
         bound = bound.select(*[v.lstrip("?") for v in select])
     return bound.dropDuplicates() if distinct else bound
+
+
+def validate_shapes(
+    triples: DataFrame,
+    functional: "list[str] | None" = None,
+    required: "list[tuple[str, str]] | None" = None,
+    type_pred: str = RDF_TYPE,
+) -> DataFrame:
+    """(rule, subj, pred, n): SHACL-lite shape validation over the
+    triple table — the QA gate a KG build runs before publishing a
+    materialization.
+
+      - ``functional``: predicates that must have at most ONE distinct
+        object per subject (sh:maxCount 1); violations report the
+        actual distinct-object count.
+      - ``required``: (class_iri, pred) pairs — every instance of the
+        class must carry the predicate (sh:minCount 1); violations
+        report n = 0.
+
+    Functional checks are one (subj, pred) groupBy over only the
+    constrained predicates (filter pushed to the scan); required
+    checks are one anti-join per constraint between the class's
+    instance set and the predicate's subject set — both sides keyed
+    on subj, co-partitioned. Deterministic output, SQL-replayable."""
+    out: "DataFrame | None" = None
+    if functional:
+        f = (
+            triples.filter(F.col("pred").isin(list(functional)))
+            .groupBy("subj", "pred")
+            .agg(F.countDistinct("obj_value").alias("n"))
+            .filter(F.col("n") > 1)
+            .select(F.lit("functional").alias("rule"), "subj", "pred", "n")
+        )
+        out = f
+    for cls, pred in required or []:
+        inst = triples.filter(
+            (F.col("pred") == type_pred) & (F.col("obj_value") == cls)
+        ).select("subj")
+        has = triples.filter(F.col("pred") == pred).select("subj")
+        miss = (
+            inst.join(has, "subj", "left_anti")
+            .select(
+                F.lit("required").alias("rule"),
+                "subj",
+                F.lit(pred).alias("pred"),
+                F.lit(0).cast("long").alias("n"),
+            )
+        )
+        out = miss if out is None else out.unionByName(miss)
+    if out is None:
+        raise ValueError("no constraints given")
+    return out

@@ -176,3 +176,38 @@ def test_close_pairs_matches_distributed_closure(spark):
             for r in transitive_closure(df, max_depth=6).collect()}
     assert set(close_pairs(edges)) == dist
     assert close_pairs([]) == []
+
+
+def test_validate_shapes_rules(spark):
+    from json_ld_spark.operators.reasoning import validate_shapes
+
+    t = spark.createDataFrame(
+        [
+            ("a", RDF_TYPE, "Turn"),
+            ("a", "tool", "search"),
+            ("a", "mentions", "m1"),
+            ("a", "mentions", "m2"),      # functional violation (n=2)
+            ("b", RDF_TYPE, "Turn"),      # required violation (no tool)
+            ("b", "mentions", "m3"),      # single -> fine
+            ("c", RDF_TYPE, "Other"),     # not a Turn -> unconstrained
+        ],
+        "subj string, pred string, obj_value string",
+    )
+    got = {(r.rule, r.subj, r.pred): r.n
+           for r in validate_shapes(
+               t, functional=["mentions"], required=[("Turn", "tool")]
+           ).collect()}
+    assert got == {
+        ("functional", "a", "mentions"): 2,
+        ("required", "b", "tool"): 0,
+    }
+
+
+def test_validate_shapes_requires_constraints(spark):
+    from json_ld_spark.operators.reasoning import validate_shapes
+
+    t = spark.createDataFrame(
+        [("a", "p", "x")], "subj string, pred string, obj_value string"
+    )
+    with pytest.raises(ValueError):
+        validate_shapes(t)
