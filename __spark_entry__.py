@@ -2930,6 +2930,21 @@ def q_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAP_K = 40
+
+
+def q_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain capped uniform sample (≤k docs per source, md5-hash
+    order) — the balanced-corpus cap that keeps small domains whole
+    and subsamples the whales, deterministic under any partitioning."""
+    from json_ld_spark.operators.corpus import capped_group_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    return capped_group_sample(docs, "source", k=_CAP_K)
+
+
 def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHACL-lite shape validation of the emitted KG — the publish
     gate: a functional-property check (demo constraint: at most one
@@ -4425,6 +4440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "char_entropy": q_char_entropy,
         "kg_validate": q_kg_validate,
+        "capped_sample": q_capped_sample,
         # -- block 2: last green driver row is r1–r3 (10) ------------
         "dedup_keep": q_dedup_keep,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4870,6 +4886,17 @@ def oracle_sql() -> dict[str, str]:
         "hyperball_neighborhood": _hyperball_oracle_sql(),
         "entity_walks": _walks_oracle_sql(),
         "kg_snapshot_diff": _snapshot_diff_oracle_sql(),
+        "capped_sample": f"""
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(concat('0x',
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT), doc_id) AS rk
+          FROM documents
+        ) WHERE rk <= {_CAP_K}
+        """,
         "kg_validate": _MENTION_CTE + f"""
         , base AS (
           SELECT '{TURN_NS}' || conv_id || '/' || turn_idx AS turn, *

@@ -223,6 +223,7 @@ def main() -> None:
         "rrf_fusion",
         "char_entropy",
         "kg_validate",
+        "capped_sample",
     ]
     # streaming queries run once (temp-dir setup + query startup
     # dominate; min-of-N would only re-measure fixed latency)

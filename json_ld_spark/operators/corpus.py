@@ -658,3 +658,31 @@ def preference_pairs(
             "chosen_score", "rejected_score", "margin",
         )
     )
+
+
+def capped_group_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """At most ``k`` rows per group, chosen by md5-hash order of the
+    id — the per-domain cap step of balanced-corpus construction
+    (keep every small domain whole, uniformly subsample the whales).
+    Hash order makes the choice a uniform sample that is DETERMINISTIC
+    under any partitioning (the deterministic_sample policy, applied
+    per group); id tie-break covers hash collisions. One window over
+    one group-keyed shuffle; whale groups degrade like any skewed
+    window (salt upstream if one group dominates a partition)."""
+    from pyspark.sql.window import Window
+
+    from json_ld_spark.operators.dedup import md5_hash60
+
+    w = Window.partitionBy(group_col).orderBy(
+        md5_hash60(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

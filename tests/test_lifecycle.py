@@ -82,3 +82,19 @@ def test_walks_deterministic_and_valid(spark):
         edges.repartition(5), walk_len=3, walks_per_node=2
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, w2.collect()))
+
+
+def test_capped_group_sample_binds_and_deterministic(spark):
+    from json_ld_spark.operators.corpus import capped_group_sample
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small")
+                                               for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = capped_group_sample(df, "source", k=10).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by["big"]) == 10          # whale capped
+    assert len(by["small"]) == 3         # small domain kept whole
+    again = capped_group_sample(df.repartition(7), "source", k=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
